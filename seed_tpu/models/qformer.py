@@ -1,0 +1,191 @@
+"""Causal Q-Former — the heart of the SEED-2 visual tokenizer.
+
+Reference semantics (models/seed_qformer/qformer_causual.py):
+- 32 learned query tokens attend *causally* among themselves
+  (mask ``col <= row`` over the query block, :698-714, triggered when
+  query length == 32, :814-816) — this is what makes the 32 visual codes a
+  left-to-right sequence a LLM can model.
+- Cross-attention from query positions to the frozen ViT output every
+  ``cross_freq`` layers (layers 0, 2, 4, ... — BertLayer :341-345).
+- Query positions use a *separate* FFN (``intermediate_query`` /
+  ``output_query``, :408-422) from text positions.
+- Text tokens (stage-1 training) attend bidirectionally to everything;
+  queries additionally attend fully to the text suffix (mask :703-714).
+- Post-norm residuals (BERT style), LayerNorm eps 1e-12, exact GELU.
+
+TPU-first: the 12 layers are held as an explicit list (they are tiny — 32
+tokens x 768 dims — so unrolling beats a scan with layer-heterogeneous
+cross-attention), all matmuls batched on the MXU, masks precomputed once.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.attention import mha
+from . import layers as L
+
+
+@dataclass(frozen=True)
+class QFormerConfig:
+    hidden: int = 768
+    layers: int = 12
+    heads: int = 12
+    intermediate: int = 3072
+    encoder_width: int = 1408     # ViT feature dim for cross-attention
+    cross_freq: int = 2
+    query_len: int = 32
+    vocab_size: int = 30523       # bert-base-uncased + [DEC] (blip2.py:37-39)
+    max_position: int = 512
+    ln_eps: float = 1e-12
+    with_text: bool = False       # stage-1 training keeps the text pathway
+
+    @property
+    def head_dim(self) -> int:
+        return self.hidden // self.heads
+
+
+SEED_QFORMER = QFormerConfig()
+TINY_QFORMER = QFormerConfig(hidden=32, layers=4, heads=2, intermediate=64,
+                             encoder_width=48, query_len=8, vocab_size=64,
+                             max_position=64)
+
+
+# ------------------------------ init --------------------------------------
+
+def _init_attn(key, q_in: int, kv_in: int, hidden: int, dtype):
+    ks = L.split_keys(key, 4)
+    return {
+        "q": L.init_linear(ks[0], q_in, hidden, dtype=dtype),
+        "k": L.init_linear(ks[1], kv_in, hidden, dtype=dtype),
+        "v": L.init_linear(ks[2], kv_in, hidden, dtype=dtype),
+        "out": L.init_linear(ks[3], hidden, hidden, dtype=dtype),
+        "norm": L.init_layer_norm(hidden, dtype),
+    }
+
+
+def _init_ffn(key, hidden: int, intermediate: int, dtype):
+    ks = L.split_keys(key, 2)
+    return {
+        "fc1": L.init_linear(ks[0], hidden, intermediate, dtype=dtype),
+        "fc2": L.init_linear(ks[1], intermediate, hidden, dtype=dtype),
+        "norm": L.init_layer_norm(hidden, dtype),
+    }
+
+
+def init_qformer(key, cfg: QFormerConfig, dtype=jnp.float32):
+    n_keys = 2 + cfg.layers * 4
+    ks = L.split_keys(key, n_keys)
+    params = {
+        "query_tokens": (jax.random.normal(ks[0], (1, cfg.query_len, cfg.hidden)) * 0.02).astype(dtype),
+        "embeddings": {"norm": L.init_layer_norm(cfg.hidden, dtype)},
+        "layers": [],
+    }
+    ki = 2
+    for i in range(cfg.layers):
+        layer = {
+            "self": _init_attn(ks[ki], cfg.hidden, cfg.hidden, cfg.hidden, dtype),
+            "ffn_q": _init_ffn(ks[ki + 1], cfg.hidden, cfg.intermediate, dtype),
+        }
+        if i % cfg.cross_freq == 0:
+            layer["cross"] = _init_attn(ks[ki + 2], cfg.hidden,
+                                        cfg.encoder_width, cfg.hidden, dtype)
+        if cfg.with_text:
+            layer["ffn_t"] = _init_ffn(ks[ki + 3], cfg.hidden, cfg.intermediate, dtype)
+        ki += 4
+        params["layers"].append(layer)
+    if cfg.with_text:
+        kw, kp = jax.random.split(jax.random.fold_in(key, 7))
+        params["embeddings"]["word_embeddings"] = L.init_embed(
+            kw, cfg.vocab_size, cfg.hidden, dtype)
+        params["embeddings"]["position_embeddings"] = L.init_embed(
+            kp, cfg.max_position, cfg.hidden, dtype)
+    return params
+
+
+# ----------------------------- masking ------------------------------------
+
+def seed_causal_mask(query_len: int, text_len: int = 0,
+                     text_pad: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    """The SEED query-causal mask (qformer_causual.py:698-714).
+
+    Layout [Q | T]: queries attend causally to earlier queries and fully to
+    text; text attends to everything (subject to padding). Returns bool
+    [B?, 1, Q+T, Q+T] (batched iff ``text_pad`` given).
+    """
+    n = query_len + text_len
+    row = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
+    in_query_block = (row < query_len) & (col < query_len)
+    mask = jnp.where(in_query_block, col <= row, True)
+    mask = mask[None, None]  # [1, 1, n, n]
+    if text_pad is not None and text_len > 0:
+        pad = jnp.concatenate(
+            [jnp.ones((text_pad.shape[0], query_len), bool), text_pad.astype(bool)],
+            axis=1)
+        mask = mask & pad[:, None, None, :]
+    return mask
+
+
+# ----------------------------- forward ------------------------------------
+
+def _attn_apply(p, x_q, x_kv, cfg: QFormerConfig, mask=None):
+    B, N, _ = x_q.shape
+    M = x_kv.shape[1]
+    H, hd = cfg.heads, cfg.head_dim
+    q = L.linear(p["q"], x_q).reshape(B, N, H, hd)
+    k = L.linear(p["k"], x_kv).reshape(B, M, H, hd)
+    v = L.linear(p["v"], x_kv).reshape(B, M, H, hd)
+    o = mha(q, k, v, mask=mask).reshape(B, N, cfg.hidden)
+    # BertSelfOutput: dense -> residual -> LN (post-norm)
+    return L.layer_norm(p["norm"], x_q + L.linear(p["out"], o), cfg.ln_eps)
+
+
+def _ffn_apply(p, x, cfg: QFormerConfig):
+    h = L.linear(p["fc2"], L.gelu(L.linear(p["fc1"], x)))
+    return L.layer_norm(p["norm"], x + h, cfg.ln_eps)
+
+
+def qformer_apply(
+    params,
+    image_embeds: jnp.ndarray,                 # [B, M, encoder_width]
+    cfg: QFormerConfig,
+    text_ids: Optional[jnp.ndarray] = None,    # [B, T] (stage-1 training)
+    text_pad: Optional[jnp.ndarray] = None,    # [B, T] 1 = real token
+) -> jnp.ndarray:
+    """Query(+text) forward. Returns hidden states [B, Q(+T), hidden].
+
+    Mirrors Qformer.bert(query_embeds=..., encoder_hidden_states=...)
+    (qformer_causual.py:768-915) for the is_casual=True branch.
+    """
+    B = image_embeds.shape[0]
+    Q = cfg.query_len
+    x = jnp.broadcast_to(params["query_tokens"], (B, Q, cfg.hidden))
+    x = x.astype(image_embeds.dtype)
+    T = 0
+    if text_ids is not None:
+        T = text_ids.shape[1]
+        emb = params["embeddings"]
+        tok = L.embed(emb["word_embeddings"], text_ids)
+        pos = emb["position_embeddings"]["embedding"][:T]
+        x = jnp.concatenate([x, (tok + pos).astype(x.dtype)], axis=1)
+    x = L.layer_norm(params["embeddings"]["norm"], x, cfg.ln_eps)
+
+    self_mask = seed_causal_mask(Q, T, text_pad)
+
+    for i, layer in enumerate(params["layers"]):
+        x = _attn_apply(layer["self"], x, x, cfg, mask=self_mask)
+        if "cross" in layer:
+            # cross-attention applies to query positions only (BertLayer :393-406)
+            xq = _attn_apply(layer["cross"], x[:, :Q], image_embeds, cfg)
+            x = jnp.concatenate([xq, x[:, Q:]], axis=1) if T else xq
+        xq = _ffn_apply(layer["ffn_q"], x[:, :Q], cfg)
+        if T:
+            xt = _ffn_apply(layer["ffn_t"], x[:, Q:], cfg)
+            x = jnp.concatenate([xq, xt], axis=1)
+        else:
+            x = xq
+    return x

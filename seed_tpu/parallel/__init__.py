@@ -1,0 +1,25 @@
+from .mesh import (
+    AXIS_NAMES,
+    DATA_AXIS,
+    FSDP_AXIS,
+    TENSOR_AXIS,
+    auto_mesh,
+    batch_sharding,
+    make_mesh,
+    replicated,
+    shard_batch,
+)
+from .partition import (
+    LLAMA_TP_RULES,
+    VIT_TP_RULES,
+    make_param_specs,
+    make_shardings,
+    shard_params,
+)
+
+__all__ = [
+    "AXIS_NAMES", "DATA_AXIS", "FSDP_AXIS", "TENSOR_AXIS",
+    "auto_mesh", "batch_sharding", "make_mesh", "replicated", "shard_batch",
+    "LLAMA_TP_RULES", "VIT_TP_RULES",
+    "make_param_specs", "make_shardings", "shard_params",
+]
