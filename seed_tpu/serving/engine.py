@@ -1,0 +1,122 @@
+"""Autoregressive generation engine with preallocated KV cache.
+
+Replaces the reference's HF ``model.generate`` sampling loop
+(scripts/seed_llama_inference_8B.py:28-37) with a TPU-native engine:
+
+- single jitted prefill over the (padded) prompt, single jitted decode step
+  reused for every token — two compiled programs total, no shape churn;
+- the KV cache lives on device across the whole request;
+- slot-based batching: multiple sequences decode in lockstep, finished
+  sequences are masked (the serving layer refills slots — continuous
+  batching in the scheduler, static shapes in XLA).
+"""
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass, field
+from typing import List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models import llama as M
+from ..ops.sampling import sample
+
+
+@dataclass
+class GenerationConfig:
+    # reference defaults: scripts/seed_llama_inference_8B.py:81-87
+    max_new_tokens: int = 512
+    temperature: float = 1.0
+    top_p: float = 0.5
+    top_k: int = 0
+    do_sample: bool = True
+    eos_token_id: int = 2
+    forced_first_token: Optional[int] = None   # force_boi (flask :158-175)
+
+
+def _pad_to(x: np.ndarray, n: int, value: int = 0) -> np.ndarray:
+    if x.shape[-1] >= n:
+        return x[..., :n]
+    pad = np.full((*x.shape[:-1], n - x.shape[-1]), value, x.dtype)
+    return np.concatenate([x, pad], axis=-1)
+
+
+class LlamaEngine:
+    """Holds params + compiled prefill/decode programs for one model."""
+
+    def __init__(self, params, cfg: M.LlamaConfig, max_len: Optional[int] = None,
+                 prompt_buckets: Sequence[int] = (32, 64, 128, 256, 512, 1024),
+                 cache_dtype=jnp.bfloat16):
+        self.params = params
+        self.cfg = cfg
+        self.max_len = max_len or cfg.max_seq_len
+        self.buckets = sorted(b for b in prompt_buckets if b <= self.max_len)
+        self.cache_dtype = cache_dtype
+
+        self._prefill = jax.jit(
+            functools.partial(M.prefill, cfg=cfg))
+        self._decode = jax.jit(
+            functools.partial(M.decode_step, cfg=cfg))
+
+        def sample_fn(key, logits, temperature, top_p, top_k, do_sample):
+            return sample(key, logits, temperature, top_p, top_k, do_sample)
+
+        self._sample = jax.jit(sample_fn, static_argnums=(4, 5))
+
+    def _bucket(self, n: int) -> int:
+        for b in self.buckets:
+            if n <= b:
+                return b
+        return self.max_len
+
+    def generate(
+        self,
+        prompt_ids: Sequence[Sequence[int]],
+        gen: GenerationConfig = GenerationConfig(),
+        seed: int = 0,
+    ) -> List[List[int]]:
+        """Batch generate. Returns new tokens per sequence (without prompt)."""
+        B = len(prompt_ids)
+        lens = [len(p) for p in prompt_ids]
+        bucket = self._bucket(max(lens))
+        # Left-pad so every row's last prompt token sits at the same column;
+        # RoPE positions and attention masking are derived in-graph from the
+        # chunk mask (models/llama.py prefill).
+        ids = np.zeros((B, bucket), np.int32)
+        mask = np.zeros((B, bucket), np.int32)
+        for i, p in enumerate(prompt_ids):
+            ids[i, bucket - lens[i]:] = np.asarray(p, np.int32)
+            mask[i, bucket - lens[i]:] = 1
+
+        cache = M.init_cache(self.cfg, B, self.max_len, self.cache_dtype)
+        logits, cache = self._prefill(self.params, jnp.asarray(ids), cache,
+                                      chunk_mask=jnp.asarray(mask))
+        next_logits = logits[:, -1]
+
+        key = jax.random.PRNGKey(seed)
+        out_tokens = [[] for _ in range(B)]
+        finished = np.zeros(B, bool)
+        for step in range(gen.max_new_tokens):
+            key, sub = jax.random.split(key)
+            if step == 0 and gen.forced_first_token is not None:
+                tok = jnp.full((B,), gen.forced_first_token, jnp.int32)
+            else:
+                tok = self._sample(sub, next_logits, gen.temperature,
+                                   gen.top_p, gen.top_k, gen.do_sample)
+            tok_np = np.asarray(tok)
+            for i in range(B):
+                if not finished[i]:
+                    out_tokens[i].append(int(tok_np[i]))
+                    if tok_np[i] == gen.eos_token_id:
+                        finished[i] = True
+            if finished.all():
+                break
+            logits, cache = self._decode(self.params, tok[:, None], cache)
+            next_logits = logits[:, 0]
+        # strip trailing eos
+        for i in range(B):
+            if out_tokens[i] and out_tokens[i][-1] == gen.eos_token_id:
+                out_tokens[i] = out_tokens[i][:-1]
+        return out_tokens

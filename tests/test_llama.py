@@ -1,0 +1,198 @@
+"""LLaMA decoder: oracle parity, KV-cache consistency, generation engine."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from seed_tpu import BOI_TOKEN_ID, EOI_TOKEN_ID, IMAGE_ID_SHIFT
+from seed_tpu.models import llama as M
+from seed_tpu.models import layers as L
+from seed_tpu.ops.sampling import apply_top_p, sample
+from seed_tpu.serving import (ByteTextTokenizer, GenerationConfig,
+                              LlamaEngine, SeedLlamaInterface)
+
+import torch_oracles as oracle
+
+CFG = M.TINY_LLAMA
+
+
+@pytest.fixture(scope="module")
+def params():
+    return M.init_llama(jax.random.PRNGKey(0), CFG, dtype=jnp.float32)
+
+
+class TestPrimitives:
+    def test_rms_norm_matches_torch(self):
+        x = np.random.RandomState(0).randn(2, 5, 16).astype(np.float32)
+        scale = np.random.RandomState(1).randn(16).astype(np.float32)
+        got = L.rms_norm({"scale": jnp.asarray(scale)}, jnp.asarray(x), 1e-6)
+        want = oracle.rms_norm(oracle.t(x), scale)
+        np.testing.assert_allclose(np.asarray(got), want.numpy(),
+                                   rtol=1e-5, atol=1e-5)
+
+    def test_rope_matches_torch(self):
+        x = np.random.RandomState(0).randn(2, 7, 4, 16).astype(np.float32)
+        pos = np.arange(7)
+        got = M.rope(jnp.asarray(x), jnp.asarray(pos))
+        want = oracle.rope(oracle.t(x), pos)
+        np.testing.assert_allclose(np.asarray(got), want.numpy(),
+                                   rtol=1e-5, atol=1e-5)
+
+    def test_rope_position_shift_invariance(self):
+        """RoPE attention scores depend only on relative positions."""
+        q = jnp.asarray(np.random.RandomState(0).randn(1, 4, 2, 8), jnp.float32)
+        k = jnp.asarray(np.random.RandomState(1).randn(1, 4, 2, 8), jnp.float32)
+        s0 = jnp.einsum("bnhd,bmhd->bhnm", M.rope(q, jnp.arange(4)),
+                        M.rope(k, jnp.arange(4)))
+        s1 = jnp.einsum("bnhd,bmhd->bhnm", M.rope(q, jnp.arange(4) + 13),
+                        M.rope(k, jnp.arange(4) + 13))
+        np.testing.assert_allclose(np.asarray(s0), np.asarray(s1),
+                                   rtol=1e-4, atol=1e-4)
+
+
+class TestForward:
+    def test_shapes_and_padding_mask(self, params):
+        ids = jnp.asarray([[1, 5, 9, 12]], jnp.int32)
+        logits = M.forward(params, ids, CFG)
+        assert logits.shape == (1, 4, CFG.padded_vocab)
+        # padded vocab entries must be masked to ~ -inf
+        assert np.asarray(logits)[..., CFG.vocab_size:].max() < -1e8
+
+    def test_causality(self, params):
+        """Changing a later token must not affect earlier logits."""
+        ids1 = jnp.asarray([[1, 5, 9, 12]], jnp.int32)
+        ids2 = jnp.asarray([[1, 5, 9, 200]], jnp.int32)
+        l1 = np.asarray(M.forward(params, ids1, CFG))
+        l2 = np.asarray(M.forward(params, ids2, CFG))
+        np.testing.assert_allclose(l1[:, :3], l2[:, :3], rtol=1e-5, atol=1e-5)
+        assert np.abs(l1[:, 3] - l2[:, 3]).max() > 1e-3
+
+    def test_gqa_head_counts(self, params):
+        # TINY_LLAMA has kv_heads=2 < heads=4: shapes must work end to end
+        assert CFG.kv_heads < CFG.heads
+        ids = jnp.asarray([[3, 1, 4]], jnp.int32)
+        assert M.forward(params, ids, CFG).shape[1] == 3
+
+
+class TestKVCache:
+    def test_prefill_matches_forward(self, params):
+        ids = jnp.asarray([[1, 5, 9, 12, 7]], jnp.int32)
+        full = np.asarray(M.forward(params, ids, CFG))
+        cache = M.init_cache(CFG, 1, 16, dtype=jnp.float32)
+        chunk, cache = M.prefill(params, ids, cache, CFG)
+        np.testing.assert_allclose(full, np.asarray(chunk), rtol=2e-4, atol=2e-4)
+
+    def test_incremental_decode_matches_forward(self, params):
+        ids = np.asarray([[1, 5, 9, 12, 7, 3]], np.int32)
+        full = np.asarray(M.forward(params, jnp.asarray(ids), CFG))
+        cache = M.init_cache(CFG, 1, 16, dtype=jnp.float32)
+        # prefill 3, then decode one token at a time
+        _, cache = M.prefill(params, jnp.asarray(ids[:, :3]), cache, CFG)
+        for t in range(3, 6):
+            logits, cache = M.decode_step(params, jnp.asarray(ids[:, t:t + 1]),
+                                          cache, CFG)
+            np.testing.assert_allclose(full[:, t], np.asarray(logits)[:, 0],
+                                       rtol=2e-4, atol=2e-4)
+
+    def test_left_padded_prefill(self, params):
+        """A left-padded batch must produce the same last-token logits as the
+        unpadded sequence."""
+        seq = [4, 8, 15, 16]
+        cache1 = M.init_cache(CFG, 1, 16, dtype=jnp.float32)
+        l1, _ = M.prefill(params, jnp.asarray([seq], jnp.int32), cache1, CFG)
+        ref = np.asarray(l1)[:, -1]
+
+        padded = [0, 0] + seq
+        mask = [0, 0, 1, 1, 1, 1]
+        cache2 = M.init_cache(CFG, 1, 16, dtype=jnp.float32)
+        l2, _ = M.prefill(params, jnp.asarray([padded], jnp.int32), cache2,
+                          CFG, chunk_mask=jnp.asarray([mask], jnp.int32))
+        np.testing.assert_allclose(ref, np.asarray(l2)[:, -1],
+                                   rtol=2e-4, atol=2e-4)
+
+
+class TestSampling:
+    def test_top_p_keeps_crossing_token(self):
+        logits = jnp.log(jnp.asarray([[0.5, 0.3, 0.15, 0.05]]))
+        out = np.asarray(apply_top_p(logits, 0.5))
+        # 0.5 crosses p=0.5 -> kept; everything else filtered
+        assert out[0, 0] > -1e8
+        assert (out[0, 1:] < -1e8).all()
+
+    def test_top_p_keeps_head(self):
+        logits = jnp.log(jnp.asarray([[0.4, 0.35, 0.2, 0.05]]))
+        out = np.asarray(apply_top_p(logits, 0.5))
+        assert out[0, 0] > -1e8 and out[0, 1] > -1e8
+        assert (out[0, 2:] < -1e8).all()
+
+    def test_greedy(self):
+        logits = jnp.asarray([[0.1, 3.0, 0.2]])
+        tok = sample(jax.random.PRNGKey(0), logits, do_sample=False)
+        assert int(tok[0]) == 1
+
+
+class TestEngine:
+    def test_generate_greedy_matches_manual(self, params):
+        eng = LlamaEngine(params, CFG, max_len=64, cache_dtype=jnp.float32)
+        gen = GenerationConfig(max_new_tokens=5, do_sample=False,
+                               eos_token_id=-1)
+        out = eng.generate([[1, 5, 9]], gen)[0]
+        assert len(out) == 5
+
+        # manual greedy rollout with full forward each step
+        ids = [1, 5, 9]
+        for _ in range(5):
+            logits = M.forward(params, jnp.asarray([ids], jnp.int32), CFG)
+            ids.append(int(np.asarray(logits)[0, -1].argmax()))
+        assert out == ids[3:]
+
+    def test_batch_heterogeneous_lengths(self, params):
+        eng = LlamaEngine(params, CFG, max_len=64, cache_dtype=jnp.float32)
+        gen = GenerationConfig(max_new_tokens=4, do_sample=False,
+                               eos_token_id=-1)
+        both = eng.generate([[1, 5, 9], [2, 7]], gen)
+        solo0 = eng.generate([[1, 5, 9]], gen)[0]
+        solo1 = eng.generate([[2, 7]], gen)[0]
+        assert both[0] == solo0
+        assert both[1] == solo1
+
+    def test_forced_first_token(self, params):
+        eng = LlamaEngine(params, CFG, max_len=64, cache_dtype=jnp.float32)
+        gen = GenerationConfig(max_new_tokens=3, do_sample=False,
+                               eos_token_id=-1, forced_first_token=42)
+        out = eng.generate([[1, 2]], gen)[0]
+        assert out[0] == 42
+
+
+class TestMultimodalSplit:
+    def test_split_interleaved(self):
+        iface = SeedLlamaInterface(engine=None, tok_params=None,
+                                   text_tokenizer=ByteTextTokenizer())
+        text1 = ByteTextTokenizer().encode("hi")
+        codes = list(range(32))
+        img = [BOI_TOKEN_ID] + [c + IMAGE_ID_SHIFT for c in codes] + [EOI_TOKEN_ID]
+        text2 = ByteTextTokenizer().encode("bye")
+        segs = iface.split_output(text1 + img + text2)
+        assert [s.kind for s in segs] == ["text", "image", "text"]
+        assert segs[0].text == "hi" and segs[2].text == "bye"
+        np.testing.assert_array_equal(segs[1].image_codes[0], codes)
+
+    def test_malformed_image_block_degrades_gracefully(self):
+        iface = SeedLlamaInterface(engine=None, tok_params=None,
+                                   text_tokenizer=ByteTextTokenizer())
+        # BOI without EOI
+        ids = ByteTextTokenizer().encode("x") + [BOI_TOKEN_ID, IMAGE_ID_SHIFT + 5]
+        segs = iface.split_output(ids)
+        assert all(s.kind == "text" for s in segs)
+
+    def test_prompt_assembly(self):
+        iface = SeedLlamaInterface(engine=None, tok_params=None,
+                                   text_tokenizer=ByteTextTokenizer())
+        codes = np.arange(32)
+        ids = iface.build_prompt(["what is this?", codes])
+        assert ids[0] == ByteTextTokenizer.bos_token_id
+        assert BOI_TOKEN_ID in ids and EOI_TOKEN_ID in ids
+        b = ids.index(BOI_TOKEN_ID)
+        assert ids[b + 1] == IMAGE_ID_SHIFT + 0
+        assert ids[b + 32] == IMAGE_ID_SHIFT + 31
+        assert ids[b + 33] == EOI_TOKEN_ID
