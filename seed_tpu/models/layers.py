@@ -54,7 +54,8 @@ def rms_norm(p: Params, x: jnp.ndarray, eps: float = 1e-6) -> jnp.ndarray:
 
 
 def embed(p: Params, ids: jnp.ndarray) -> jnp.ndarray:
-    return jnp.take(p["embedding"], ids, axis=0)
+    # clip OOB ids: JAX's default fill mode yields NaN rows for bad inputs
+    return jnp.take(p["embedding"], ids, axis=0, mode="clip")
 
 
 # --------------------------- initializers ---------------------------------

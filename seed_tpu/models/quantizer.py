@@ -61,8 +61,11 @@ def quantize(params, z: jnp.ndarray, beta: float = 0.25,
 
 
 def lookup(params, indices: jnp.ndarray) -> jnp.ndarray:
-    """Codebook entry lookup (get_codebook_entry, :125-140)."""
-    return jnp.take(params["codebook"], indices, axis=0)
+    """Codebook entry lookup (get_codebook_entry, :125-140).
+
+    Out-of-range ids clamp to the nearest valid code (JAX's default OOB
+    fill would silently produce NaN embeddings for malformed requests)."""
+    return jnp.take(params["codebook"], indices, axis=0, mode="clip")
 
 
 # ---- EMA codebook (NormEMAVectorQuantizer of the experimental DVM path,

@@ -56,8 +56,13 @@ def make_param_specs(params, mesh: Mesh, rules: Optional[Rules] = None):
 
     def spec_for(path, leaf):
         name = path_str(path)
+        rank = len(np.shape(leaf))
         for pat, spec in compiled:
             if pat.search(name):
+                # rules are written for the *trailing* dims (2-D kernels);
+                # stacked-layer params [L, in, out] get None on leading axes
+                if 0 < len(spec) < rank:
+                    return P(*([None] * (rank - len(spec)) + list(spec)))
                 return spec
         return _auto_fsdp_spec(np.shape(leaf), mesh)
 

@@ -63,7 +63,9 @@ class LlamaEngine:
         def sample_fn(key, logits, temperature, top_p, top_k, do_sample):
             return sample(key, logits, temperature, top_p, top_k, do_sample)
 
-        self._sample = jax.jit(sample_fn, static_argnums=(4, 5))
+        # sampling hyperparams are static: they select the compiled program
+        # (a handful of configs in practice), keeping the sample body branch-free
+        self._sample = jax.jit(sample_fn, static_argnums=(2, 3, 4, 5))
 
     def _bucket(self, n: int) -> int:
         for b in self.buckets:

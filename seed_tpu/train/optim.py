@@ -1,0 +1,80 @@
+"""Optimizers and LR schedules.
+
+Rebuilds the reference's training hyperparameters:
+- cosine-with-minimum-floor schedule (MultiModalLLM/src/train/
+  optimization.py:18-67, ``0.5*((1+r)+(1-r)cos(pi*2c*p))``)
+- AdamW beta=(0.9, 0.95)/(0.9, 0.999), eps, weight decay with
+  no-decay param groups (LAVIS runner_base.py:103-134: 1-d params and
+  biases excluded from decay)
+- LinearWarmupCosineLR of the tokenizer stages (lavis/common/optims.py)
+"""
+from __future__ import annotations
+
+import math
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..parallel.partition import path_str
+
+
+def cosine_with_floor(base_lr: float, warmup_steps: int, total_steps: int,
+                      min_lr_ratio: float = 0.0, num_cycles: float = 0.5):
+    """transformers-style cosine schedule with a floor (optimization.py:18-29).
+
+    lr(p) = base * max(min_ratio,
+                       0.5 * ((1+r) + (1-r) * cos(pi * 2*cycles * p)))"""
+    def schedule(step):
+        step = jnp.asarray(step, jnp.float32)
+        warm = step / jnp.maximum(1.0, warmup_steps)
+        progress = (step - warmup_steps) / jnp.maximum(1.0, total_steps - warmup_steps)
+        r = min_lr_ratio
+        cos = 0.5 * ((1 + r) + (1 - r) * jnp.cos(math.pi * 2.0 * num_cycles * progress))
+        decay = jnp.maximum(r, cos)
+        return base_lr * jnp.where(step < warmup_steps, warm, decay)
+
+    return schedule
+
+
+def warmup_cosine(base_lr: float, warmup_steps: int, total_steps: int,
+                  min_lr: float = 0.0, warmup_start_lr: float = -1.0):
+    """LAVIS LinearWarmupCosineLRScheduler (optims.py:57-95)."""
+    init = warmup_start_lr if warmup_start_lr >= 0 else base_lr
+
+    def schedule(step):
+        step = jnp.asarray(step, jnp.float32)
+        warm = init + (base_lr - init) * step / jnp.maximum(1.0, warmup_steps)
+        progress = step / jnp.maximum(1.0, total_steps)
+        cos = min_lr + 0.5 * (base_lr - min_lr) * (1 + jnp.cos(math.pi * progress))
+        return jnp.where(step < warmup_steps, warm, cos)
+
+    return schedule
+
+
+def _decay_mask(params):
+    """True = apply weight decay. Excludes 1-d params (norm scales, biases)."""
+    return jax.tree_util.tree_map_with_path(
+        lambda path, x: (x.ndim >= 2
+                         and "bias" not in path_str(path)
+                         and "embedding" not in path_str(path)),
+        params)
+
+
+def adamw(schedule, b1: float = 0.9, b2: float = 0.95, eps: float = 1e-5,
+          weight_decay: float = 0.0, clip_norm: Optional[float] = 1.0,
+          params: Any = None):
+    """AdamW with global-norm clipping and no-decay groups.
+
+    Defaults match the LLM pretrain recipe
+    (train_a100_lora_multi_node_pretrain.sh: adam beta2 0.95, eps 1e-5,
+    max_grad_norm 1.0).
+    """
+    txs = []
+    if clip_norm:
+        txs.append(optax.clip_by_global_norm(clip_norm))
+    mask = _decay_mask(params) if (params is not None and weight_decay) else None
+    txs.append(optax.adamw(schedule, b1=b1, b2=b2, eps=eps,
+                           weight_decay=weight_decay, mask=mask))
+    return optax.chain(*txs)
