@@ -1,0 +1,5 @@
+from .torch_convert import (convert_llama, convert_lora, convert_quantizer,
+                            load_torch_state_dict)
+
+__all__ = ["convert_llama", "convert_lora", "convert_quantizer",
+           "load_torch_state_dict"]
