@@ -1,0 +1,118 @@
+"""Sequence builders: pre-tokenized records -> training examples.
+
+The reference builds sequences in *string space* — formatting image ids as
+``<img_00042>`` text and re-tokenizing (torchdata_train.py:100-112,
+torchdata_sft.py:476-505). We build directly in *id space*: image codes map
+to ids by +32000 (IMAGE_ID_SHIFT), so there is no string round trip and no
+tokenizer in the hot path. Semantics preserved:
+
+- caption pairs: bos + [caption][image] or [image][caption] with
+  ``reverse_ratio`` (t2i vs i2t, torchdata_train.py:109-114) + eos;
+  ``mask_left_label`` puts -100 on the conditioning prefix through BOI/EOI
+  (:135-147)
+- SFT conversations: per turn ``USER: <img>q\nASSISTANT: a``; -100 on all
+  question spans; bos/eos; pad to max_length with -100 labels
+  (torchdata_sft.py:453-529)
+- batches collate to numpy {input_ids, attention_mask, labels} int32
+"""
+from __future__ import annotations
+
+import random
+from typing import Any, Dict, List, Optional, Sequence
+
+import numpy as np
+
+from .. import BOI_TOKEN_ID, EOI_TOKEN_ID, IMAGE_ID_SHIFT
+
+IGNORE_INDEX = -100
+
+
+def image_token_ids(image_ids: Sequence[int]) -> List[int]:
+    return ([BOI_TOKEN_ID] + [int(i) + IMAGE_ID_SHIFT for i in image_ids]
+            + [EOI_TOKEN_ID])
+
+
+def _pad(ids: List[int], mask: List[int], labels: List[int], max_length: int,
+         pad_id: int = 0):
+    ids, mask, labels = ids[:max_length], mask[:max_length], labels[:max_length]
+    n = max_length - len(ids)
+    return (ids + [pad_id] * n, mask + [0] * n, labels + [IGNORE_INDEX] * n)
+
+
+def build_caption_example(
+    record: Dict[str, Any],
+    text_tokenizer,
+    max_length: int = 128,
+    reverse_ratio: float = 0.5,
+    mask_left_label: bool = False,
+    caption_prompts: Optional[Sequence[str]] = None,
+    rng: Optional[random.Random] = None,
+) -> Optional[Dict[str, np.ndarray]]:
+    rng = rng or random
+    text = record.get("text", "")
+    if not str(text).strip(" ;,[]{}'\".?:"):
+        return None  # empty-caption filter (torchdata_train.py:131-133)
+    if caption_prompts:
+        text = rng.choice(list(caption_prompts)).format(text)
+
+    img = image_token_ids(record["image_ids"])
+    txt = text_tokenizer.encode(text)
+    reverse = rng.random() < reverse_ratio
+    body = (img + txt) if reverse else (txt + img)
+    ids = [text_tokenizer.bos_token_id] + body + [text_tokenizer.eos_token_id]
+    mask = [1] * len(ids)
+    labels = list(ids)
+
+    if mask_left_label:
+        # mask conditioning prefix: through EOI (i2t) or through BOI (t2i)
+        anchor = EOI_TOKEN_ID if reverse else BOI_TOKEN_ID
+        idx = ids.index(anchor)
+        labels[:idx + 1] = [IGNORE_INDEX] * (idx + 1)
+
+    ids, mask, labels = _pad(ids, mask, labels, max_length)
+    return {"input_ids": np.asarray(ids, np.int32),
+            "attention_mask": np.asarray(mask, np.int32),
+            "labels": np.asarray(labels, np.int32)}
+
+
+def build_conversation_example(
+    turns: Sequence[Dict[str, Any]],
+    text_tokenizer,
+    max_length: int = 1024,
+    s_token: str = "USER:",
+    e_token: str = "ASSISTANT:",
+    sep: str = "\n",
+) -> Dict[str, np.ndarray]:
+    """turns: [{"question": str, "answer": str, "image_ids": optional}].
+
+    First turn carries the image tokens before the question
+    (torchdata_sft.py:490-494); question spans are -100.
+    """
+    ids: List[int] = []
+    labels: List[int] = []
+    for i, turn in enumerate(turns):
+        q_ids: List[int] = []
+        prefix = (s_token + " ") if i == 0 else (sep + s_token + " ")
+        q_ids.extend(text_tokenizer.encode(prefix))
+        if i == 0 and turn.get("image_ids") is not None:
+            q_ids.extend(image_token_ids(turn["image_ids"]))
+        q_ids.extend(text_tokenizer.encode(str(turn["question"]) + sep + e_token))
+        a = str(turn["answer"])
+        if not a.endswith("."):
+            a = a + "."
+        a_ids = text_tokenizer.encode(a)
+        ids.extend(q_ids + a_ids)
+        labels.extend([IGNORE_INDEX] * len(q_ids) + a_ids)
+
+    ids = [text_tokenizer.bos_token_id] + ids + [text_tokenizer.eos_token_id]
+    labels = [IGNORE_INDEX] + labels + [text_tokenizer.eos_token_id]
+    mask = [1] * len(ids)
+    ids, mask, labels = _pad(ids, mask, labels, max_length)
+    return {"input_ids": np.asarray(ids, np.int32),
+            "attention_mask": np.asarray(mask, np.int32),
+            "labels": np.asarray(labels, np.int32)}
+
+
+def collate(examples: List[Dict[str, np.ndarray]]) -> Dict[str, np.ndarray]:
+    keys = examples[0].keys()
+    return {k: np.stack([e[k] for e in examples], 0) for k in keys}

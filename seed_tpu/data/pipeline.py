@@ -1,0 +1,246 @@
+"""Streaming input pipeline — the torchdata/webdataset replacement.
+
+Reference graph (MultiModalLLM/src/data/torchdata_train.py:265-281):
+FileLister(*.tar) -> cycle -> shuffle -> sharding_filter -> open ->
+load_from_tar_wo_exception -> decode -> webdataset-group -> map -> filter ->
+shuffle(4096) -> batch -> collate; sources mixed by SampleMultiplexer with
+per-source weights (build_multi_datapipes :363-385).
+
+TPU-native equivalents, as composable generators:
+- per-host shard assignment by jax.process_index (replaces
+  DistributedReadingService + sharding_filter)
+- corrupt-tar tolerance (datapipes.py:16-44 TarArchiveLoaderWoException)
+- deterministic seeding per (host, epoch) like pytorch_worker_seed
+  (data.py:139) — resume uses the reference's own ignore_data_skip
+  semantics (streams are resampled, not fast-forwarded)
+- double-buffered host->device feeding so input never blocks the TPU step.
+"""
+from __future__ import annotations
+
+import glob as globlib
+import io
+import itertools
+import json
+import logging
+import pickle
+import random
+import tarfile
+import threading
+import queue as queuelib
+from typing import (Any, Callable, Dict, Iterable, Iterator, List, Optional,
+                    Sequence, Tuple)
+
+import numpy as np
+
+log = logging.getLogger("seed_tpu.data")
+
+
+# ----------------------------- shard listing -------------------------------
+
+def list_shards(pattern: str, shuffle_seed: Optional[int] = None) -> List[str]:
+    files = sorted(globlib.glob(pattern))
+    if shuffle_seed is not None:
+        random.Random(shuffle_seed).shuffle(files)
+    return files
+
+
+def shard_for_host(files: Sequence[str], host_index: Optional[int] = None,
+                   host_count: Optional[int] = None) -> List[str]:
+    """Round-robin shard assignment per host (DistributedReadingService)."""
+    if host_index is None:
+        import jax
+        host_index, host_count = jax.process_index(), jax.process_count()
+    return [f for i, f in enumerate(files) if i % host_count == host_index]
+
+
+# ----------------------------- tar reading ---------------------------------
+
+def iter_tar(path: str, suffixes: Optional[Sequence[str]] = None
+             ) -> Iterator[Tuple[str, bytes]]:
+    """Yield (member_name, bytes); skip corrupt archives instead of raising
+    (load_from_tar_wo_exception semantics)."""
+    try:
+        with tarfile.open(path, "r") as tf:
+            for member in tf:
+                if not member.isfile():
+                    continue
+                if suffixes and not any(member.name.endswith(s) for s in suffixes):
+                    continue
+                f = tf.extractfile(member)
+                if f is None:
+                    continue
+                yield member.name, f.read()
+    except (tarfile.TarError, EOFError, OSError) as e:
+        log.warning("skipping corrupt tar %s: %s", path, e)
+
+
+def group_by_key(stream: Iterator[Tuple[str, bytes]]
+                 ) -> Iterator[Dict[str, bytes]]:
+    """webdataset grouping: 'abc.jpg','abc.txt' -> {'__key__','jpg','txt'}.
+
+    Tolerates duplicate keys by flushing the previous sample
+    (group_by_keys_nothrow semantics for the LAION dup-key bug,
+    src/data/base.py:427-452)."""
+    current: Dict[str, Any] = {}
+    for name, data in stream:
+        key, _, ext = name.rpartition("/")[2].partition(".")
+        if current and current.get("__key__") != key:
+            yield current
+            current = {}
+        current["__key__"] = key
+        current[ext] = data
+    if current:
+        yield current
+
+
+def decode_pkl_records(sample: Dict[str, bytes]) -> Optional[Dict[str, Any]]:
+    """Pre-tokenized record decode (the ShardWriter pkl format of
+    extract_image_ids_to_torchdata_parallel.py:106-127)."""
+    if "pkl" not in sample:
+        return None
+    try:
+        return pickle.loads(sample["pkl"])
+    except Exception as e:  # corrupt record: skip, don't crash the epoch
+        log.warning("bad pkl record %s: %s", sample.get("__key__"), e)
+        return None
+
+
+def decode_image_text(sample: Dict[str, bytes]) -> Optional[Dict[str, Any]]:
+    """Raw webdataset sample: jpg + txt (+ json) -> dict with PIL image."""
+    img_ext = next((e for e in ("jpg", "jpeg", "png", "webp") if e in sample),
+                   None)
+    if img_ext is None:
+        return None
+    try:
+        from PIL import Image
+        img = Image.open(io.BytesIO(sample[img_ext])).convert("RGB")
+    except Exception as e:
+        log.warning("bad image %s: %s", sample.get("__key__"), e)
+        return None
+    out = {"__key__": sample.get("__key__"), "image": img}
+    if "txt" in sample:
+        out["text"] = sample["txt"].decode("utf-8", errors="replace")
+    if "json" in sample:
+        try:
+            out["meta"] = json.loads(sample["json"])
+        except Exception:
+            pass
+    return out
+
+
+# ----------------------------- combinators ---------------------------------
+
+def cycle(items: Sequence[str], count: Optional[int] = None,
+          seed: Optional[int] = None) -> Iterator[str]:
+    """Repeat the file list ``count`` times (None = forever), reshuffling
+    per epoch with a deterministic per-epoch seed (detshuffle2 semantics,
+    src/data/data.py:159)."""
+    epoch = 0
+    while count is None or epoch < count:
+        files = list(items)
+        if seed is not None:
+            random.Random(seed + epoch).shuffle(files)
+        yield from files
+        epoch += 1
+
+
+def shuffle_buffer(stream: Iterator, size: int, seed: int = 0) -> Iterator:
+    rng = random.Random(seed)
+    buf: List[Any] = []
+    for item in stream:
+        if len(buf) < size:
+            buf.append(item)
+            continue
+        i = rng.randrange(size)
+        yield buf[i]
+        buf[i] = item
+    rng.shuffle(buf)
+    yield from buf
+
+
+def batched(stream: Iterator, batch_size: int,
+            collate: Optional[Callable] = None, drop_last: bool = True
+            ) -> Iterator:
+    it = iter(stream)
+    while True:
+        chunk = list(itertools.islice(it, batch_size))
+        if not chunk or (drop_last and len(chunk) < batch_size):
+            return
+        yield collate(chunk) if collate else chunk
+
+
+def sample_multiplexer(sources: Dict[str, Iterator], weights: Dict[str, float],
+                       seed: int = 0) -> Iterator:
+    """Weighted sampling across sources; a source that ends is dropped
+    (SampleMultiplexer semantics). Ends when all sources end."""
+    rng = random.Random(seed)
+    live = {k: iter(v) for k, v in sources.items()}
+    w = {k: float(weights.get(k, 1.0)) for k in live}
+    while live:
+        names = list(live)
+        probs = np.asarray([w[n] for n in names])
+        pick = rng.choices(names, weights=probs.tolist(), k=1)[0]
+        try:
+            yield next(live[pick])
+        except StopIteration:
+            del live[pick]
+
+
+def multiplexer_longest(sources: Dict[str, Iterator], seed: int = 0) -> Iterator:
+    """Round-robin until every source is exhausted (MultiplexerLongest)."""
+    live = {k: iter(v) for k, v in sources.items()}
+    while live:
+        for name in list(live):
+            try:
+                yield next(live[name])
+            except StopIteration:
+                del live[name]
+
+
+# --------------------------- device feeding --------------------------------
+
+class Prefetcher:
+    """Background-thread prefetch of host batches (the MultiProcessing
+    ReadingService capability we need: keep the accelerator fed)."""
+
+    def __init__(self, stream: Iterator, depth: int = 2,
+                 transfer: Optional[Callable] = None):
+        self._q: queuelib.Queue = queuelib.Queue(maxsize=depth)
+        self._stream = stream
+        self._transfer = transfer
+        self._done = object()
+        self._thread = threading.Thread(target=self._fill, daemon=True)
+        self._thread.start()
+
+    def _fill(self):
+        try:
+            for item in self._stream:
+                if self._transfer:
+                    item = self._transfer(item)
+                self._q.put(item)
+        finally:
+            self._q.put(self._done)
+
+    def __iter__(self):
+        return self
+
+    def __next__(self):
+        item = self._q.get()
+        if item is self._done:
+            raise StopIteration
+        return item
+
+
+# ------------------------------ tar source ---------------------------------
+
+def tar_source(pattern: str, decode: Callable = decode_pkl_records,
+               cycle_count: Optional[int] = 1, seed: int = 0,
+               host_index: Optional[int] = None,
+               host_count: Optional[int] = None) -> Iterator[Dict]:
+    """files -> per-host shard -> cycle -> tar -> group -> decode -> filter."""
+    files = shard_for_host(list_shards(pattern), host_index, host_count)
+    for path in cycle(files, cycle_count, seed):
+        for sample in group_by_key(iter_tar(path)):
+            rec = decode(sample)
+            if rec is not None:
+                yield rec

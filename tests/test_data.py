@@ -1,0 +1,158 @@
+"""Data pipeline: tar reading, corrupt tolerance, multiplexing, builders."""
+import io
+import os
+import pickle
+import tarfile
+
+import numpy as np
+import pytest
+
+from seed_tpu import BOI_TOKEN_ID, EOI_TOKEN_ID, IMAGE_ID_SHIFT
+from seed_tpu.data import (Prefetcher, batched, build_caption_example,
+                           build_conversation_example, collate, cycle,
+                           decode_pkl_records, group_by_key, iter_tar,
+                           sample_multiplexer, shard_for_host, shuffle_buffer,
+                           tar_source)
+from seed_tpu.data.builders import IGNORE_INDEX
+from seed_tpu.serving import ByteTextTokenizer
+
+
+def write_tar(path, records):
+    with tarfile.open(path, "w") as tf:
+        for key, rec in records:
+            data = pickle.dumps(rec)
+            info = tarfile.TarInfo(f"{key}.pkl")
+            info.size = len(data)
+            tf.addfile(info, io.BytesIO(data))
+
+
+@pytest.fixture
+def shards(tmp_path):
+    paths = []
+    for s in range(3):
+        p = tmp_path / f"shard_{s:03d}.tar"
+        write_tar(p, [(f"s{s}_k{i}",
+                       {"image_ids": list(range(i, i + 32)),
+                        "text": f"caption {s}-{i}"}) for i in range(4)])
+        paths.append(str(p))
+    return paths
+
+
+class TestTarPipeline:
+    def test_iter_and_decode(self, shards):
+        recs = [decode_pkl_records(s) for s in group_by_key(iter_tar(shards[0]))]
+        assert len(recs) == 4
+        assert recs[0]["text"] == "caption 0-0"
+        assert len(recs[0]["image_ids"]) == 32
+
+    def test_corrupt_tar_skipped(self, tmp_path, shards):
+        bad = tmp_path / "bad.tar"
+        bad.write_bytes(b"this is not a tar file at all........")
+        out = list(iter_tar(str(bad)))
+        assert out == []  # swallowed, no raise
+
+    def test_tar_source_end_to_end(self, tmp_path, shards):
+        stream = tar_source(str(tmp_path / "shard_*.tar"), cycle_count=1,
+                            host_index=0, host_count=1)
+        recs = list(stream)
+        assert len(recs) == 12
+
+    def test_host_sharding_partitions(self, shards):
+        a = shard_for_host(shards, 0, 2)
+        b = shard_for_host(shards, 1, 2)
+        assert sorted(a + b) == sorted(shards)
+        assert not set(a) & set(b)
+
+    def test_cycle_reshuffles_per_epoch(self, shards):
+        out = list(cycle(shards, count=2, seed=1))
+        assert len(out) == 6
+        assert sorted(out[:3]) == sorted(shards)
+
+    def test_shuffle_buffer_is_permutation(self):
+        out = list(shuffle_buffer(iter(range(100)), size=10, seed=0))
+        assert sorted(out) == list(range(100))
+        assert out != list(range(100))
+
+    def test_batched_collate(self):
+        items = [{"x": np.ones(3) * i} for i in range(7)]
+        batches = list(batched(iter(items), 2, collate))
+        assert len(batches) == 3  # drop_last
+        assert batches[0]["x"].shape == (2, 3)
+
+    def test_multiplexer_weights(self):
+        a = iter([{"src": "a"}] * 300)
+        b = iter([{"src": "b"}] * 300)
+        out = list(sample_multiplexer({"a": a, "b": b},
+                                      {"a": 3.0, "b": 1.0}, seed=0))
+        counts = {"a": 0, "b": 0}
+        for o in out[:200]:
+            counts[o["src"]] += 1
+        assert counts["a"] > counts["b"] * 1.5
+
+    def test_prefetcher_preserves_order(self):
+        out = list(Prefetcher(iter(range(50)), depth=4))
+        assert out == list(range(50))
+
+
+class TestBuilders:
+    TOK = ByteTextTokenizer()
+
+    def test_caption_example_layout(self):
+        import random
+        rec = {"image_ids": list(range(32)), "text": "a cat"}
+        ex = build_caption_example(rec, self.TOK, max_length=64,
+                                   reverse_ratio=0.0,
+                                   rng=random.Random(0))
+        ids = ex["input_ids"]
+        assert ids[0] == self.TOK.bos_token_id
+        b = list(ids).index(BOI_TOKEN_ID)
+        assert ids[b + 1] == IMAGE_ID_SHIFT  # code 0
+        assert ids[b + 33] == EOI_TOKEN_ID
+        # padding masked
+        assert ex["attention_mask"][-1] == 0
+        assert ex["labels"][-1] == IGNORE_INDEX
+
+    def test_caption_mask_left_label_t2i(self):
+        import random
+        rec = {"image_ids": list(range(32)), "text": "dog"}
+        ex = build_caption_example(rec, self.TOK, max_length=64,
+                                   reverse_ratio=0.0, mask_left_label=True,
+                                   rng=random.Random(0))
+        ids, labels = list(ex["input_ids"]), list(ex["labels"])
+        b = ids.index(BOI_TOKEN_ID)
+        assert all(l == IGNORE_INDEX for l in labels[:b + 1])
+        assert labels[b + 1] == ids[b + 1]  # image tokens supervised
+
+    def test_caption_mask_left_label_i2t(self):
+        import random
+        rec = {"image_ids": list(range(32)), "text": "dog"}
+        ex = build_caption_example(rec, self.TOK, max_length=64,
+                                   reverse_ratio=1.0, mask_left_label=True,
+                                   rng=random.Random(0))
+        ids, labels = list(ex["input_ids"]), list(ex["labels"])
+        e = ids.index(EOI_TOKEN_ID)
+        assert all(l == IGNORE_INDEX for l in labels[:e + 1])
+
+    def test_empty_caption_filtered(self):
+        rec = {"image_ids": list(range(32)), "text": "  .?:  "}
+        assert build_caption_example(rec, self.TOK) is None
+
+    def test_conversation_masks_questions(self):
+        turns = [{"question": "what?", "answer": "cat",
+                  "image_ids": list(range(32))},
+                 {"question": "color?", "answer": "black"}]
+        ex = build_conversation_example(turns, self.TOK, max_length=256)
+        ids, labels = list(ex["input_ids"]), list(ex["labels"])
+        assert ids[0] == self.TOK.bos_token_id
+        assert labels[0] == IGNORE_INDEX
+        # every supervised label equals its input id; question spans ignored
+        sup = [(i, l) for i, l in zip(ids, labels) if l != IGNORE_INDEX]
+        assert all(i == l for i, l in sup)
+        # image tokens are inside a question span -> ignored
+        b = ids.index(BOI_TOKEN_ID)
+        assert labels[b] == IGNORE_INDEX
+        # answers supervised: "cat." appears in labels
+        answer_ids = self.TOK.encode("cat.")
+        s = "".join(map(chr, [l for l in labels if 0 < l < 300]))
+        assert "cat." in "".join(chr(l - 3) for l in labels
+                                 if l >= 3 and l < 259)
