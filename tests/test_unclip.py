@@ -1,0 +1,185 @@
+"""unCLIP de-tokenizer: scheduler math, UNet structure, pipeline e2e."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from seed_tpu.models.unclip import (DDIMScheduler, DDPMNoiser, TINY_TEXT,
+                                    TINY_UNCLIP, TINY_UNET, UnCLIPDecoder,
+                                    clip_text_apply, decode_to_images,
+                                    generate_latents, init_clip_text,
+                                    init_unclip, init_unet,
+                                    noise_image_embeddings, timestep_embedding,
+                                    unet_apply)
+from seed_tpu.models.unclip.schedulers import make_betas
+from seed_tpu.models.unclip.unet import conv2d, group_norm
+
+
+class TestSchedulers:
+    def test_ddim_recovers_x0_epsilon(self):
+        """If the model predicts the exact noise, DDIM must walk back toward
+        x0: one step from t with correct eps gives exactly
+        sqrt(a_prev)x0 + sqrt(1-a_prev)eps."""
+        sch = DDIMScheduler(prediction_type="epsilon")
+        ac = sch.alphas_cumprod()
+        t = 500
+        rng = np.random.RandomState(0)
+        x0 = rng.randn(1, 4, 4, 4).astype(np.float32)
+        eps = rng.randn(1, 4, 4, 4).astype(np.float32)
+        xt = np.sqrt(ac[t]) * x0 + np.sqrt(1 - ac[t]) * eps
+        a_prev = ac[t - 50]
+        out = sch.step(jnp.asarray(eps), jnp.asarray(xt),
+                       jnp.asarray(ac[t], jnp.float32),
+                       jnp.asarray(a_prev, jnp.float32))
+        want = np.sqrt(a_prev) * x0 + np.sqrt(1 - a_prev) * eps
+        np.testing.assert_allclose(np.asarray(out), want, rtol=1e-4, atol=1e-5)
+
+    def test_v_prediction_consistency(self):
+        """v = sqrt(a)eps - sqrt(1-a)x0; stepping with the true v must equal
+        stepping with the true eps under the epsilon parameterization."""
+        ac = DDIMScheduler().alphas_cumprod()
+        t, tp = 700, 650
+        rng = np.random.RandomState(1)
+        x0 = rng.randn(2, 3).astype(np.float32)
+        eps = rng.randn(2, 3).astype(np.float32)
+        xt = np.sqrt(ac[t]) * x0 + np.sqrt(1 - ac[t]) * eps
+        v = np.sqrt(ac[t]) * eps - np.sqrt(1 - ac[t]) * x0
+
+        out_v = DDIMScheduler(prediction_type="v_prediction").step(
+            jnp.asarray(v), jnp.asarray(xt),
+            jnp.asarray(ac[t], jnp.float32), jnp.asarray(ac[tp], jnp.float32))
+        out_e = DDIMScheduler(prediction_type="epsilon").step(
+            jnp.asarray(eps), jnp.asarray(xt),
+            jnp.asarray(ac[t], jnp.float32), jnp.asarray(ac[tp], jnp.float32))
+        np.testing.assert_allclose(np.asarray(out_v), np.asarray(out_e),
+                                   rtol=1e-4, atol=1e-5)
+
+    def test_timesteps_match_diffusers_leading(self):
+        sch = DDIMScheduler()
+        ts = sch.timesteps(20)
+        assert len(ts) == 20
+        assert ts[0] == 951 and ts[-1] == 1   # 1000/20=50 spacing + offset 1
+        assert np.all(np.diff(ts) == -50)
+
+    def test_betas_squaredcos(self):
+        b = make_betas(1000, "squaredcos_cap_v2")
+        assert b.shape == (1000,)
+        assert 0 < b[0] < b[500] < 1
+
+    def test_add_noise_limits(self):
+        noiser = DDPMNoiser()
+        x = jnp.ones((2, 8))
+        noise = jnp.full((2, 8), 5.0)
+        near_clean = noiser.add_noise(x, noise, jnp.asarray([0, 0]))
+        very_noisy = noiser.add_noise(x, noise, jnp.asarray([999, 999]))
+        assert abs(float(near_clean[0, 0]) - 1.0) < 0.1
+        assert abs(float(very_noisy[0, 0]) - 5.0) < 0.5
+
+    def test_timestep_embedding_shape_and_range(self):
+        emb = timestep_embedding(jnp.asarray([0, 10, 999]), 32)
+        assert emb.shape == (3, 32)
+        assert np.abs(np.asarray(emb)).max() <= 1.0 + 1e-6
+
+
+class TestUNet:
+    def test_shapes_and_conditioning(self):
+        cfg = TINY_UNET
+        p = init_unet(jax.random.PRNGKey(0), cfg)
+        lat = jax.random.normal(jax.random.PRNGKey(1), (2, 8, 8, 4))
+        ctx = jax.random.normal(jax.random.PRNGKey(2), (2, 4, cfg.cross_attention_dim))
+        cls = jax.random.normal(jax.random.PRNGKey(3), (2, cfg.class_embed_input_dim))
+        t = jnp.asarray([10, 500], jnp.int32)
+        out = unet_apply(p, lat, t, ctx, cls, cfg)
+        assert out.shape == lat.shape
+
+        # class conditioning must change the output (the unCLIP pathway)
+        out2 = unet_apply(p, lat, t, ctx, cls + 1.0, cfg)
+        assert np.abs(np.asarray(out) - np.asarray(out2)).max() > 1e-4
+
+        # cross-attention context must matter too
+        out3 = unet_apply(p, lat, t, ctx * 2.0, cls, cfg)
+        assert np.abs(np.asarray(out) - np.asarray(out3)).max() > 1e-5
+
+    def test_conv_matches_torch_padding(self):
+        """stride-2 conv must use torch's (1,1) padding, not XLA SAME."""
+        import torch
+        rng = np.random.RandomState(0)
+        x = rng.randn(1, 6, 6, 3).astype(np.float32)
+        w = rng.randn(3, 3, 3, 5).astype(np.float32)
+        b = rng.randn(5).astype(np.float32)
+        got = np.asarray(conv2d({"kernel": jnp.asarray(w), "bias": jnp.asarray(b)},
+                                jnp.asarray(x), stride=2))
+        want = torch.nn.functional.conv2d(
+            torch.from_numpy(x.transpose(0, 3, 1, 2)),
+            torch.from_numpy(w.transpose(3, 2, 0, 1)),
+            torch.from_numpy(b), stride=2, padding=1)
+        want = want.permute(0, 2, 3, 1).numpy()
+        assert got.shape == want.shape
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+    def test_group_norm_matches_torch(self):
+        import torch
+        rng = np.random.RandomState(0)
+        x = rng.randn(2, 4, 4, 8).astype(np.float32)
+        scale = rng.randn(8).astype(np.float32)
+        bias = rng.randn(8).astype(np.float32)
+        got = np.asarray(group_norm({"scale": jnp.asarray(scale),
+                                     "bias": jnp.asarray(bias)},
+                                    jnp.asarray(x), groups=4))
+        want = torch.nn.functional.group_norm(
+            torch.from_numpy(x.transpose(0, 3, 1, 2)), 4,
+            torch.from_numpy(scale), torch.from_numpy(bias))
+        want = want.permute(0, 2, 3, 1).numpy()
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+class TestPipeline:
+    def test_noise_image_embeddings_doubles_dim(self):
+        cfg = TINY_UNCLIP
+        p = init_unclip(jax.random.PRNGKey(0), cfg)
+        emb = jax.random.normal(jax.random.PRNGKey(1), (2, cfg.image_embed_dim))
+        out = noise_image_embeddings(p, emb, 0, None, cfg)
+        assert out.shape == (2, 2 * cfg.image_embed_dim)
+        # noise_level 0 with zero noise: embedding part unchanged
+        np.testing.assert_allclose(np.asarray(out[:, :cfg.image_embed_dim]),
+                                   np.asarray(emb), rtol=1e-3, atol=1e-3)
+
+    def test_full_decode_runs_and_is_deterministic(self):
+        cfg = TINY_UNCLIP
+        p = init_unclip(jax.random.PRNGKey(0), cfg)
+        dec = UnCLIPDecoder(p, cfg, num_inference_steps=3, guidance_scale=5.0,
+                            dtype=jnp.float32)
+        emb = np.random.RandomState(0).randn(1, cfg.image_embed_dim).astype(np.float32)
+        img1 = dec.generate(emb)
+        img2 = dec.generate(emb)
+        factor = 2 ** (len(cfg.vae.channel_mults) - 1)
+        assert img1.shape == (1, cfg.latent_size * factor,
+                              cfg.latent_size * factor, 3)
+        assert img1.min() >= 0.0 and img1.max() <= 1.0
+        np.testing.assert_array_equal(img1, img2)
+
+    def test_guidance_changes_output(self):
+        cfg = TINY_UNCLIP
+        p = init_unclip(jax.random.PRNGKey(0), cfg)
+        emb = jnp.asarray(np.random.RandomState(0).randn(1, cfg.image_embed_dim),
+                          jnp.float32)
+        lat = jax.random.normal(jax.random.PRNGKey(7), (1, 8, 8, 4))
+        a = generate_latents(p, emb, lat, cfg, num_inference_steps=2,
+                             guidance_scale=1.0)
+        b = generate_latents(p, emb, lat, cfg, num_inference_steps=2,
+                             guidance_scale=8.0)
+        assert np.abs(np.asarray(a) - np.asarray(b)).max() > 1e-5
+
+
+class TestCLIPText:
+    def test_causal_and_shapes(self):
+        cfg = TINY_TEXT
+        p = init_clip_text(jax.random.PRNGKey(0), cfg)
+        ids = jnp.asarray([[1, 5, 9, 2]], jnp.int32)
+        out = clip_text_apply(p, ids, cfg)
+        assert out.shape == (1, 4, cfg.hidden)
+        # causality: changing the last token leaves earlier positions alone
+        ids2 = ids.at[0, 3].set(7)
+        out2 = clip_text_apply(p, ids2, cfg)
+        np.testing.assert_allclose(np.asarray(out[:, :3]),
+                                   np.asarray(out2[:, :3]), rtol=2e-5, atol=2e-5)
