@@ -189,3 +189,29 @@ def qformer_apply(
         else:
             x = xq
     return x
+
+
+def qformer_text_apply(
+    params,
+    text_ids: jnp.ndarray,                  # [B, T]
+    cfg: QFormerConfig,
+    text_pad: Optional[jnp.ndarray] = None,  # [B, T] 1 = real token
+) -> jnp.ndarray:
+    """Text-only BERT forward (stage-1 text encoding:
+    blip2_qformer_casual.py:152-158 Qformer.bert(input_ids, attention_mask)).
+    Bidirectional self-attention with padding mask; text FFN; no cross-attn.
+    Returns hidden states [B, T, hidden] (CLS at position 0).
+    """
+    B, T = text_ids.shape
+    emb = params["embeddings"]
+    tok = L.embed(emb["word_embeddings"], text_ids)
+    pos = emb["position_embeddings"]["embedding"][:T]
+    x = L.layer_norm(emb["norm"], tok + pos.astype(tok.dtype), cfg.ln_eps)
+
+    mask = None
+    if text_pad is not None:
+        mask = text_pad.astype(bool)[:, None, None, :]
+    for layer in params["layers"]:
+        x = _attn_apply(layer["self"], x, x, cfg, mask=mask)
+        x = _ffn_apply(layer["ffn_t"], x, cfg)
+    return x

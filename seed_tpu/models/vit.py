@@ -58,6 +58,11 @@ EVA_VIT_G = ViTConfig()  # eva_vit.py:461-474: mlp = int(1408 * 4.3637) = 6144
 CLIP_VIT_L = ViTConfig(dim=1024, depth=23, heads=16, mlp_dim=4096,
                        qkv_bias="full", act="quick_gelu", ln_eps=1e-5,
                        ln_pre=True, patch_bias=False)
+# CLIP-ViT-H/14 (laion2b): the stage-2 distillation target tower
+# (blip2_qformer_codebook_all_image.py uses CLIPVisionModelWithProjection)
+CLIP_VIT_H = ViTConfig(dim=1280, depth=32, heads=16, mlp_dim=5120,
+                       qkv_bias="full", act="gelu", ln_eps=1e-5,
+                       ln_pre=True, patch_bias=False)
 # tiny config for tests
 TINY_VIT = ViTConfig(image_size=28, patch_size=14, dim=32, depth=2, heads=2,
                      mlp_dim=64)
@@ -164,6 +169,23 @@ def blocks_apply(stacked, x: jnp.ndarray, cfg: ViTConfig,
 
     out, _ = jax.lax.scan(step, x, stacked)
     return out
+
+
+def init_clip_vision_projection(key, cfg: ViTConfig, proj_dim: int = 1024,
+                                dtype=jnp.float32):
+    """ln_post + visual projection head (CLIPVisionModelWithProjection):
+    the stage-2 distillation target produces image_embeds [B, proj_dim]."""
+    return {"ln_post": L.init_layer_norm(cfg.dim, dtype),
+            "proj": L.init_linear(key, cfg.dim, proj_dim, bias=False,
+                                  dtype=dtype)}
+
+
+def clip_image_embed(vit_params, head_params, images: jnp.ndarray,
+                     cfg: ViTConfig) -> jnp.ndarray:
+    """images -> CLIP image_embeds [B, proj_dim] (CLS -> ln_post -> proj)."""
+    x = vit_apply(vit_params, images, cfg)
+    cls = L.layer_norm(head_params["ln_post"], x[:, 0], cfg.ln_eps)
+    return L.linear(head_params["proj"], cls)
 
 
 def vit_apply(params, images: jnp.ndarray, cfg: ViTConfig,

@@ -1,0 +1,78 @@
+"""Pallas flash attention vs the XLA reference path (interpret mode on CPU)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from seed_tpu.ops.attention import mha, sliced_causal_mask
+from seed_tpu.ops.flash_attention import _flash, flash_attention
+
+
+def rand(shape, seed=0):
+    return jax.random.normal(jax.random.PRNGKey(seed), shape, jnp.float32)
+
+
+class TestFlashForward:
+    @pytest.mark.parametrize("causal", [False, True])
+    def test_matches_xla_aligned(self, causal):
+        B, S, H, D = 1, 256, 2, 128
+        q, k, v = rand((B, S, H, D), 0), rand((B, S, H, D), 1), rand((B, S, H, D), 2)
+        got = _flash(q, k, v, causal, D ** -0.5, 0)
+        mask = sliced_causal_mask(S, S, 0) if causal else None
+        want = mha(q, k, v, mask=mask)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=2e-4, atol=2e-4)
+
+    def test_unaligned_head_dim_and_seq(self):
+        """D=88 (EVA) and S=257 exercise the padding path (causal)."""
+        B, S, H, D = 1, 257, 2, 88
+        q, k, v = rand((B, S, H, D), 0), rand((B, S, H, D), 1), rand((B, S, H, D), 2)
+        got = _flash(q, k, v, True, D ** -0.5, 0)
+        want = mha(q, k, v, mask=sliced_causal_mask(S, S, 0))
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=2e-4, atol=2e-4)
+
+    def test_q_offset_chunked_prefill(self):
+        """Chunked prefill: q chunk at offset inside a longer kv."""
+        B, H, D = 1, 2, 128
+        Sk, Sq, off = 512, 256, 256
+        q = rand((B, Sq, H, D), 0)
+        k, v = rand((B, Sk, H, D), 1), rand((B, Sk, H, D), 2)
+        got = _flash(q, k, v, True, D ** -0.5, off)
+        want = mha(q, k, v, mask=sliced_causal_mask(Sq, Sk, off))
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=2e-4, atol=2e-4)
+
+    def test_public_entry_fallback_small(self):
+        """Small shapes take the XLA path; output must still be correct."""
+        q, k, v = rand((2, 16, 2, 32), 0), rand((2, 16, 2, 32), 1), rand((2, 16, 2, 32), 2)
+        got = flash_attention(q, k, v, causal=True)
+        want = mha(q, k, v, mask=sliced_causal_mask(16, 16, 0))
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-5, atol=1e-5)
+
+    def test_gqa_repeat(self):
+        q = rand((1, 256, 4, 128), 0)
+        k, v = rand((1, 256, 2, 128), 1), rand((1, 256, 2, 128), 2)
+        got = flash_attention(q, k, v, causal=True)
+        want = mha(q, k, v, mask=sliced_causal_mask(256, 256, 0))
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=2e-4, atol=2e-4)
+
+
+class TestFlashBackward:
+    def test_grads_match_xla(self):
+        B, S, H, D = 1, 256, 2, 128
+        q, k, v = rand((B, S, H, D), 0), rand((B, S, H, D), 1), rand((B, S, H, D), 2)
+
+        def f_flash(q, k, v):
+            return jnp.sum(_flash(q, k, v, True, D ** -0.5, 0) ** 2)
+
+        def f_ref(q, k, v):
+            return jnp.sum(mha(q, k, v, mask=sliced_causal_mask(S, S, 0)) ** 2)
+
+        g1 = jax.grad(f_flash, argnums=(0, 1, 2))(q, k, v)
+        g2 = jax.grad(f_ref, argnums=(0, 1, 2))(q, k, v)
+        for a, b in zip(g1, g2):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=3e-3, atol=3e-3)

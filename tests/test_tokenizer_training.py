@@ -1,0 +1,151 @@
+"""Stage-1/stage-2 tokenizer training losses + trainer integration."""
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+from seed_tpu.models import TINY_TOKENIZER, init_seed_tokenizer
+from seed_tpu.models.qformer import QFormerConfig, init_qformer, qformer_text_apply
+from seed_tpu.models.seed_tokenizer import SeedTokenizerConfig
+from seed_tpu.models.vit import (CLIP_VIT_H, TINY_VIT, clip_image_embed,
+                                 init_clip_vision_projection, init_vit)
+from seed_tpu.parallel import make_mesh
+from seed_tpu.train import Trainer, adamw, cosine_with_floor
+from seed_tpu.train.tokenizer_training import (Stage1Config, Stage2Config,
+                                               init_stage1_head, stage1_loss,
+                                               stage2_loss, stage2_loss_scalar)
+
+TOK_CFG_TEXT = dataclasses.replace(
+    TINY_TOKENIZER,
+    qformer=dataclasses.replace(TINY_TOKENIZER.qformer, with_text=True),
+    with_recon_blocks=True)
+
+
+def tok_params(key=0):
+    return init_seed_tokenizer(jax.random.PRNGKey(key), TOK_CFG_TEXT)
+
+
+def batch(bs=4):
+    rng = np.random.RandomState(0)
+    return {
+        "images": jnp.asarray(rng.randn(bs, 28, 28, 3), jnp.float32),
+        "text_ids": jnp.asarray(rng.randint(1, 60, (bs, 6)), jnp.int32),
+        "text_pad": jnp.asarray(np.ones((bs, 6)), jnp.int32),
+        "clip_embeds": jnp.asarray(rng.randn(bs, TOK_CFG_TEXT.image_embed_dim),
+                                   jnp.float32),
+    }
+
+
+class TestQFormerText:
+    def test_text_apply_shapes_and_padding(self):
+        cfg = QFormerConfig(hidden=32, layers=2, heads=2, intermediate=64,
+                            encoder_width=48, query_len=8, with_text=True,
+                            vocab_size=64, max_position=32)
+        p = init_qformer(jax.random.PRNGKey(0), cfg)
+        ids = jnp.asarray([[1, 5, 9, 0, 0]], jnp.int32)
+        pad = jnp.asarray([[1, 1, 1, 0, 0]], jnp.int32)
+        out = qformer_text_apply(p, ids, cfg, pad)
+        assert out.shape == (1, 5, 32)
+        # padded positions must not affect the CLS representation
+        ids2 = ids.at[0, 4].set(33)
+        out2 = qformer_text_apply(p, ids2, cfg, pad)
+        np.testing.assert_allclose(np.asarray(out[:, 0]), np.asarray(out2[:, 0]),
+                                   rtol=1e-5, atol=1e-6)
+
+
+class TestStage1:
+    def test_loss_runs_and_matched_beats_shuffled(self):
+        cfg = Stage1Config(tokenizer=TOK_CFG_TEXT, embed_dim=16)
+        params = {"tokenizer": tok_params(),
+                  "head": init_stage1_head(jax.random.PRNGKey(1), cfg)}
+        b = batch()
+        loss = stage1_loss(params, b, jax.random.PRNGKey(0), cfg)
+        assert np.isfinite(float(loss))
+
+    def test_frozen_vit_gets_no_grad(self):
+        cfg = Stage1Config(tokenizer=TOK_CFG_TEXT, embed_dim=16)
+        params = {"tokenizer": tok_params(),
+                  "head": init_stage1_head(jax.random.PRNGKey(1), cfg)}
+        b = batch()
+        grads = jax.grad(lambda p: stage1_loss(p, b, None, cfg))(params)
+        vit_g = np.concatenate([np.asarray(x).ravel() for x in
+                                jax.tree.leaves(grads["tokenizer"]["vit"])])
+        assert np.abs(vit_g).max() == 0.0
+        qf_g = np.concatenate([np.asarray(x).ravel() for x in
+                               jax.tree.leaves(grads["tokenizer"]["qformer"])])
+        assert np.abs(qf_g).max() > 0.0  # Q-Former IS trained in stage 1
+        head_g = np.concatenate([np.asarray(x).ravel() for x in
+                                 jax.tree.leaves(grads["head"])])
+        assert np.abs(head_g).max() > 0.0
+
+    def test_trains_loss_down(self):
+        cfg = Stage1Config(tokenizer=TOK_CFG_TEXT, embed_dim=16,
+                           label_smoothing=0.0)
+        params = {"tokenizer": tok_params(),
+                  "head": init_stage1_head(jax.random.PRNGKey(1), cfg)}
+        mesh = make_mesh(dp=1, fsdp=1, tp=1, devices=jax.devices()[:1])
+        opt = adamw(cosine_with_floor(1e-3, 0, 100), params=params)
+        tr = Trainer(lambda p, b, r: stage1_loss(p, b, r, cfg),
+                     params, opt, mesh)
+        b = batch()
+        first = float(tr.step(b, jax.random.PRNGKey(0))["loss"])
+        for i in range(12):
+            last = float(tr.step(b, jax.random.PRNGKey(i))["loss"])
+        assert last < first
+
+
+class TestStage2:
+    def test_loss_components(self):
+        cfg = Stage2Config(tokenizer=TOK_CFG_TEXT)
+        p = tok_params()
+        total, metrics = stage2_loss(p, batch(), None, cfg)
+        assert np.isfinite(float(total))
+        for k in ("vq", "recon", "distill", "codebook_usage"):
+            assert np.isfinite(float(metrics[k])), k
+        assert 0 < float(metrics["codebook_usage"]) <= 1.0
+        # weighted sum identity
+        want = (5.0 * float(metrics["vq"]) + 2.0 * float(metrics["recon"])
+                + 0.5 * float(metrics["distill"]))
+        np.testing.assert_allclose(float(total), want, rtol=1e-5)
+
+    def test_frozen_towers_no_grad_trainable_parts_do(self):
+        cfg = Stage2Config(tokenizer=TOK_CFG_TEXT)
+        p = tok_params()
+        grads = jax.grad(lambda pp: stage2_loss_scalar(pp, batch(), None, cfg))(p)
+
+        def absmax(tree):
+            leaves = [np.abs(np.asarray(x)).max() for x in jax.tree.leaves(tree)]
+            return max(leaves) if leaves else 0.0
+
+        assert absmax(grads["vit"]) == 0.0
+        assert absmax(grads["qformer"]) == 0.0
+        assert absmax(grads["encode_task"]) > 0
+        assert absmax(grads["vq"]) > 0
+        assert absmax(grads["blocks_image"]) > 0
+        assert absmax(grads["distill_image_proj"]) > 0
+
+    def test_distill_loss_decreases_with_training(self):
+        cfg = Stage2Config(tokenizer=TOK_CFG_TEXT)
+        p = tok_params()
+        mesh = make_mesh(dp=1, fsdp=1, tp=1, devices=jax.devices()[:1])
+        opt = adamw(cosine_with_floor(1e-3, 0, 100), params=p)
+        tr = Trainer(lambda pp, b, r: stage2_loss_scalar(pp, b, r, cfg),
+                     p, opt, mesh)
+        b = batch()
+        first = float(tr.step(b, jax.random.PRNGKey(0))["loss"])
+        for i in range(10):
+            last = float(tr.step(b, jax.random.PRNGKey(i))["loss"])
+        assert last < first
+
+
+class TestCLIPVisionEmbed:
+    def test_shapes(self):
+        vit_p = init_vit(jax.random.PRNGKey(0), TINY_VIT)
+        head = init_clip_vision_projection(jax.random.PRNGKey(1), TINY_VIT,
+                                           proj_dim=16)
+        img = jax.random.normal(jax.random.PRNGKey(2), (2, 28, 28, 3))
+        emb = clip_image_embed(vit_p, head, img, TINY_VIT)
+        assert emb.shape == (2, 16)
