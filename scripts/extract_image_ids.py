@@ -68,17 +68,32 @@ def main():
     def encode_batch(p, raw_u8):
         return encode(p, preprocess(raw_u8, args.image_size, jnp.bfloat16), cfg)
 
-    def to_pixels(sample):
-        img = sample["image"].resize((args.image_size, args.image_size))
-        return {"__key__": sample["__key__"],
-                "pixels": np.asarray(img, np.uint8),
-                "text": sample.get("text", ""),
-                "meta": sample.get("meta", {})}
+    from seed_tpu import native
+    from seed_tpu.data import list_shards, shard_for_host
 
-    stream = (to_pixels(s) for s in
-              tar_source(args.input, decode=decode_image_text, cycle_count=1))
-    batches = Prefetcher(batched(stream, args.batch_size, drop_last=False),
-                         depth=4)
+    if native.available():
+        # C++ path: mmap tar index + batched reads + parallel libjpeg decode
+        files = shard_for_host(list_shards(args.input))
+
+        def native_stream():
+            for imgs, keys, texts in native.fast_image_batches(
+                    files, args.batch_size, args.image_size):
+                yield [{"__key__": k, "pixels": im, "text": t, "meta": {}}
+                       for im, k, t in zip(imgs, keys, texts)]
+
+        batches = Prefetcher(native_stream(), depth=4)
+    else:
+        def to_pixels(sample):
+            img = sample["image"].resize((args.image_size, args.image_size))
+            return {"__key__": sample["__key__"],
+                    "pixels": np.asarray(img, np.uint8),
+                    "text": sample.get("text", ""),
+                    "meta": sample.get("meta", {})}
+
+        stream = (to_pixels(s) for s in
+                  tar_source(args.input, decode=decode_image_text, cycle_count=1))
+        batches = Prefetcher(batched(stream, args.batch_size, drop_last=False),
+                             depth=4)
 
     os.makedirs(args.output, exist_ok=True)
     host = jax.process_index()
