@@ -29,7 +29,13 @@ def gelu(x):
 
 
 def linear(p: Params, x: jnp.ndarray) -> jnp.ndarray:
-    y = x @ p["kernel"].astype(x.dtype)
+    if "kernel_q" in p:
+        # int8 weight-only path (ops/quantization.py): per-output-channel
+        # scale applied in the matmul epilogue — exact w.r.t. quantization
+        y = x @ p["kernel_q"].astype(x.dtype)
+        y = y * p["scale"].astype(y.dtype)
+    else:
+        y = x @ p["kernel"].astype(x.dtype)
     if "bias" in p:
         y = y + p["bias"].astype(y.dtype)
     return y

@@ -157,6 +157,18 @@ class GenerateService:
 def make_server(service: GenerateService, host: str = "0.0.0.0",
                 port: int = 7890) -> ThreadingHTTPServer:
     class Handler(BaseHTTPRequestHandler):
+        def do_GET(self):
+            if self.path in ("/", "/index.html"):
+                from .webui import PAGE
+                body = PAGE.encode()
+                self.send_response(200)
+                self.send_header("Content-Type", "text/html; charset=utf-8")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+            else:
+                self.send_error(404)
+
         def do_POST(self):
             if self.path.rstrip("/") != "/generate":
                 self.send_error(404)

@@ -1,0 +1,96 @@
+"""Int8 weight-only quantization + conversation state."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from seed_tpu import IMG_FLAG
+from seed_tpu.models import llama as M
+from seed_tpu.models import layers as L
+from seed_tpu.ops.quantization import (dequantize_weight, quantize_tree,
+                                       quantize_weight, quantized_bytes)
+from seed_tpu.serving.conversation import (CONV_SEED_LLAMA, Conversation,
+                                           SeparatorStyle)
+
+CFG = M.TINY_LLAMA
+
+
+class TestQuantization:
+    def test_roundtrip_error_small(self):
+        w = jax.random.normal(jax.random.PRNGKey(0), (64, 32))
+        q = quantize_weight(w)
+        back = dequantize_weight(q)
+        rel = np.abs(np.asarray(back - w)).max() / np.abs(np.asarray(w)).max()
+        assert rel < 0.01
+        assert q["kernel_q"].dtype == jnp.int8
+
+    def test_linear_quantized_matches_dequantized(self):
+        w = jax.random.normal(jax.random.PRNGKey(0), (16, 8))
+        b = jax.random.normal(jax.random.PRNGKey(1), (8,))
+        x = jax.random.normal(jax.random.PRNGKey(2), (4, 16))
+        q = dict(quantize_weight(w), bias=b)
+        got = L.linear(q, x)
+        want = x @ dequantize_weight(q) + b
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-4, atol=1e-4)
+
+    def test_llama_int8_end_to_end(self):
+        params = M.init_llama(jax.random.PRNGKey(0), CFG, dtype=jnp.float32)
+        qparams = quantize_tree(params)
+        assert "kernel_q" in qparams["layers"]["q_proj"]
+        assert "kernel" not in qparams["layers"]["q_proj"]
+        # memory shrinks substantially
+        assert quantized_bytes(qparams) < 0.6 * quantized_bytes(params)
+
+        ids = jnp.asarray([[1, 5, 9, 12]], jnp.int32)
+        lf = np.asarray(M.forward(params, ids, CFG))
+        lq = np.asarray(M.forward(qparams, ids, CFG))
+        # logits close; argmax preserved on a random model
+        assert np.abs(lf - lq).max() / (np.abs(lf).max() + 1e-6) < 0.1
+        np.testing.assert_array_equal(lf[..., :CFG.vocab_size].argmax(-1),
+                                      lq[..., :CFG.vocab_size].argmax(-1))
+
+    def test_stacked_kernels_quantize(self):
+        params = M.init_llama(jax.random.PRNGKey(0), CFG, dtype=jnp.float32)
+        q = quantize_tree(params)
+        kq = q["layers"]["gate_proj"]["kernel_q"]
+        assert kq.shape == (CFG.layers, CFG.dim, CFG.ffn_dim)
+        assert q["layers"]["gate_proj"]["scale"].shape == (CFG.layers, CFG.ffn_dim)
+
+
+class TestConversation:
+    def test_single_style_prompt(self):
+        conv = CONV_SEED_LLAMA.copy()
+        conv.append("USER", f"what is this? {IMG_FLAG}", images=["B64DATA"])
+        req = conv.get_prompt()
+        assert req["text"] == f"USER: what is this? {IMG_FLAG}\nASSISTANT:"
+        assert req["images"] == ["B64DATA"]
+
+    def test_id_cache_backfill(self):
+        conv = CONV_SEED_LLAMA.copy()
+        conv.append("USER", f"look {IMG_FLAG}", images=["B64DATA"])
+        conv.update_image_ids([[1, 2, 3]])
+        req = conv.get_prompt()
+        assert req["images"] == [[1, 2, 3]]   # ids reused, not base64
+
+    def test_multi_turn_with_response(self):
+        conv = CONV_SEED_LLAMA.copy()
+        conv.append("USER", "hi")
+        conv.add_response({"text": "hello!", "images": [], "images_ids": []})
+        conv.append("USER", "draw a cat")
+        req = conv.get_prompt()
+        assert req["text"] == ("USER: hi\nASSISTANT: hello!\n"
+                               "USER: draw a cat\nASSISTANT:")
+
+    def test_llama2_style(self):
+        conv = Conversation(sep_style=SeparatorStyle.LLAMA_2, system="be nice")
+        conv.append("user", "hello")
+        conv.append("assistant", "hi")
+        text = conv.get_prompt()["text"]
+        assert text.startswith("<<SYS>>\nbe nice\n<</SYS>>")
+        assert "[INST] hello [/INST]" in text
+
+    def test_image_count_mismatch_raises(self):
+        conv = CONV_SEED_LLAMA.copy()
+        with pytest.raises(AssertionError):
+            conv.append("USER", "no flag here", images=["B64"])
