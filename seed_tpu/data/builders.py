@@ -113,6 +113,132 @@ def build_conversation_example(
             "labels": np.asarray(labels, np.int32)}
 
 
+def build_interleaved_example(
+    record: Dict[str, Any],
+    text_tokenizer,
+    max_length: int = 1024,
+    reverse_ratio: float = 0.5,
+    max_images: Optional[int] = None,
+    rng: Optional[random.Random] = None,
+) -> Optional[Dict[str, np.ndarray]]:
+    """MMC4-style interleaved documents (torchdata_train.py:473-537):
+    record = {"image_ids": [codes | None, ...], "texts": [None | str, ...]}
+    with image-first swapping at ``reverse_ratio`` and a ``max_images`` cap.
+    """
+    rng = rng or random
+    image_list = list(record["image_ids"])
+    text_list = list(record["texts"])
+    if rng.random() < reverse_ratio:
+        # swap each (text, image) pair so images come first (:488-496)
+        idx = 0
+        while idx < len(image_list) - 1:
+            if image_list[idx] is not None:
+                image_list[idx], image_list[idx + 1] = \
+                    image_list[idx + 1], image_list[idx]
+                text_list[idx], text_list[idx + 1] = \
+                    text_list[idx + 1], text_list[idx]
+                idx += 2
+            else:
+                idx += 1
+
+    ids: List[int] = [text_tokenizer.bos_token_id]
+    n_img = 0
+    for img, txt in zip(image_list, text_list):
+        if (img is None) == (txt is None):
+            return None  # malformed record: exactly one must be set (:501)
+        if img is not None:
+            if max_images is not None and n_img >= max_images:
+                break
+            ids.extend(image_token_ids(img))
+            n_img += 1
+        else:
+            ids.extend(text_tokenizer.encode(txt))
+            if max_images is not None and n_img >= max_images:
+                break
+    ids.append(text_tokenizer.eos_token_id)
+    mask = [1] * len(ids)
+    labels = list(ids)
+    ids, mask, labels = _pad(ids, mask, labels, max_length)
+    return {"input_ids": np.asarray(ids, np.int32),
+            "attention_mask": np.asarray(mask, np.int32),
+            "labels": np.asarray(labels, np.int32)}
+
+
+def build_video_example(
+    record: Dict[str, Any],
+    text_tokenizer,
+    max_length: int = 256,
+    image_id_length: int = 32,
+    num_frames: int = 4,
+) -> Optional[Dict[str, np.ndarray]]:
+    """Video captioning (torchdata_train.py:1047-1106): ``num_frames``
+    consecutive 32-id frames, each in its own BOI/EOI block, caption
+    supervised, frames masked."""
+    if "image_ids" not in record or "answer" not in record:
+        return None
+    flat = record["image_ids"]
+    if flat and isinstance(flat[0], (list, np.ndarray)):
+        frames = [list(f) for f in flat]
+    else:
+        frames = [flat[i * image_id_length:(i + 1) * image_id_length]
+                  for i in range(num_frames)]
+    ids: List[int] = []
+    labels: List[int] = []
+    for f in frames:
+        seg = image_token_ids(f)
+        ids.extend(seg)
+        labels.extend([IGNORE_INDEX] * len(seg))
+    cap = text_tokenizer.encode(str(record["answer"]))
+    ids.extend(cap)
+    labels.extend(cap)
+    ids = [text_tokenizer.bos_token_id] + ids + [text_tokenizer.eos_token_id]
+    labels = [IGNORE_INDEX] + labels + [text_tokenizer.eos_token_id]
+    mask = [1] * len(ids)
+    ids, mask, labels = _pad(ids, mask, labels, max_length)
+    return {"input_ids": np.asarray(ids, np.int32),
+            "attention_mask": np.asarray(mask, np.int32),
+            "labels": np.asarray(labels, np.int32)}
+
+
+def build_edit_example(
+    record: Dict[str, Any],
+    text_tokenizer,
+    max_length: int = 256,
+) -> Optional[Dict[str, np.ndarray]]:
+    """Image editing (torchdata_sft.py:292 source -> instruction -> target):
+    supervise only the target image tokens."""
+    src = record.get("source_image_ids")
+    tgt = record.get("target_image_ids")
+    instr = record.get("instruction", record.get("text", ""))
+    if src is None or tgt is None:
+        return None
+    prefix = image_token_ids(src) + text_tokenizer.encode(str(instr))
+    target = image_token_ids(tgt)
+    ids = [text_tokenizer.bos_token_id] + prefix + target \
+        + [text_tokenizer.eos_token_id]
+    labels = ([IGNORE_INDEX] * (1 + len(prefix)) + target
+              + [text_tokenizer.eos_token_id])
+    mask = [1] * len(ids)
+    ids, mask, labels = _pad(ids, mask, labels, max_length)
+    return {"input_ids": np.asarray(ids, np.int32),
+            "attention_mask": np.asarray(mask, np.int32),
+            "labels": np.asarray(labels, np.int32)}
+
+
+# generation prompt templates for t2i SFT (torchdata_sft.py:17-37 ships 20;
+# representative set, used by build_caption_example(caption_prompts=...))
+GENERATION_PROMPTS = [
+    "Please generate an image based on the following description: {}",
+    "Create an image depicting: {}",
+    "Generate an image of {}",
+    "Show me a picture of {}",
+    "Can you draw {}?",
+    "I want to see an image of {}",
+    "Produce an image that matches this caption: {}",
+    "Visualize the following: {}",
+]
+
+
 def collate(examples: List[Dict[str, np.ndarray]]) -> Dict[str, np.ndarray]:
     keys = examples[0].keys()
     return {k: np.stack([e[k] for e in examples], 0) for k in keys}

@@ -231,6 +231,34 @@ class Prefetcher:
         return item
 
 
+def quality_filter(sample: Dict[str, Any],
+                   min_resolution: int = 128,
+                   max_aspect_ratio: float = 3.0,
+                   min_similarity: Optional[float] = None,
+                   min_caption_len: int = 1,
+                   max_caption_len: int = 512) -> bool:
+    """Qwen-style data quality filters (torchdata_preprocess.py:174-237):
+    resolution / aspect-ratio / CLIP-similarity / caption-length gates.
+    Returns True if the sample passes."""
+    img = sample.get("image")
+    if img is not None:
+        w, h = img.size if hasattr(img, "size") else (img.shape[1], img.shape[0])
+        if min(w, h) < min_resolution:
+            return False
+        if max(w, h) / max(1, min(w, h)) > max_aspect_ratio:
+            return False
+    text = sample.get("text")
+    if text is not None:
+        n_words = len(str(text).split())
+        if not (min_caption_len <= n_words <= max_caption_len):
+            return False
+    if min_similarity is not None:
+        sim = (sample.get("meta") or {}).get("similarity")
+        if sim is not None and sim < min_similarity:
+            return False
+    return True
+
+
 # ------------------------------ tar source ---------------------------------
 
 def tar_source(pattern: str, decode: Callable = decode_pkl_records,

@@ -191,6 +191,72 @@ def qformer_apply(
     return x
 
 
+def seed_caption_mask(query_len: int, text_len: int) -> jnp.ndarray:
+    """UniLM-style decoder mask (get_extended_attention_mask has_query
+    branch, qformer_causual.py:723-748): queries attend causally among
+    themselves but NOT to text; text attends to all queries and causally
+    to itself. Bool [1, 1, Q+T, Q+T]."""
+    n = query_len + text_len
+    row = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
+    causal = col <= row
+    query_row_text_col = (row < query_len) & (col >= query_len)
+    return (causal & ~query_row_text_col)[None, None]
+
+
+def qformer_caption_apply(
+    params,
+    image_embeds: jnp.ndarray,
+    text_ids: jnp.ndarray,
+    cfg: QFormerConfig,
+    text_pad: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """Decoder-mode forward for the stage-1 captioning loss
+    (blip2_qformer_casual.py:275-296 / BertLMHeadModel): queries as a
+    visual prefix, text generated left-to-right. Returns text hidden
+    states [B, T, hidden]."""
+    B = image_embeds.shape[0]
+    Q = cfg.query_len
+    T = text_ids.shape[1]
+    emb = params["embeddings"]
+    x_q = jnp.broadcast_to(params["query_tokens"], (B, Q, cfg.hidden))
+    tok = L.embed(emb["word_embeddings"], text_ids)
+    pos = emb["position_embeddings"]["embedding"][:T]
+    x = jnp.concatenate([x_q.astype(tok.dtype), tok + pos.astype(tok.dtype)], 1)
+    x = L.layer_norm(emb["norm"], x, cfg.ln_eps)
+
+    mask = seed_caption_mask(Q, T)
+    if text_pad is not None:
+        pad = jnp.concatenate([jnp.ones((B, Q), bool),
+                               text_pad.astype(bool)], axis=1)
+        mask = mask & pad[:, None, None, :]
+
+    for i, layer in enumerate(params["layers"]):
+        x = _attn_apply(layer["self"], x, x, cfg, mask=mask)
+        if "cross" in layer:
+            xq = _attn_apply(layer["cross"], x[:, :Q], image_embeds, cfg)
+            x = jnp.concatenate([xq, x[:, Q:]], axis=1)
+        xq = _ffn_apply(layer["ffn_q"], x[:, :Q], cfg)
+        xt = _ffn_apply(layer["ffn_t"], x[:, Q:], cfg)
+        x = jnp.concatenate([xq, xt], axis=1)
+    return x[:, Q:]
+
+
+def init_lm_head(key, cfg: QFormerConfig, dtype=jnp.float32):
+    """BERT MLM head: transform (dense+gelu+LN) + decoder tied to the word
+    embeddings plus a free bias (BertLMHeadModel cls)."""
+    return {"transform": L.init_linear(key, cfg.hidden, cfg.hidden, dtype=dtype),
+            "norm": L.init_layer_norm(cfg.hidden, dtype),
+            "bias": jnp.zeros((cfg.vocab_size,), dtype)}
+
+
+def lm_head_apply(head, word_embeddings, hidden, cfg: QFormerConfig):
+    h = L.gelu(L.linear(head["transform"], hidden))
+    h = L.layer_norm(head["norm"], h, cfg.ln_eps)
+    logits = h @ word_embeddings["embedding"].astype(h.dtype).T
+    return logits + head["bias"].astype(logits.dtype)
+
+
 def qformer_text_apply(
     params,
     text_ids: jnp.ndarray,                  # [B, T]

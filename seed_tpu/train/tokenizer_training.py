@@ -86,6 +86,57 @@ def stage1_loss(params, batch, rng, cfg: Stage1Config,
                     label_smoothing=cfg.label_smoothing)
 
 
+def init_itm_head(key, cfg: Stage1Config, dtype=jnp.float32):
+    """Binary image-text-matching head (blip2_qformer_casual.py:204-272)."""
+    return L.init_linear(key, cfg.tokenizer.hidden, 2, dtype=dtype)
+
+
+def stage1_itm_loss(tok_params, itm_head, images, text_ids, text_pad,
+                    cfg: Stage1Config, rng):
+    """ITM with in-batch hard negatives: positive pairs + rolled negatives
+    (a simplification of the sim-weighted sampling, :219-241 — rolled
+    negatives are the standard fallback and keep the loss jit-pure)."""
+    tcfg = cfg.tokenizer
+    sg = jax.lax.stop_gradient
+    feats = sg(vit_apply(tok_params["vit"], images, tcfg.vit))
+    feats = L.layer_norm(tok_params["ln_vision"], feats)
+    B = images.shape[0]
+    neg_text = jnp.roll(text_ids, 1, axis=0)
+    neg_pad = jnp.roll(text_pad, 1, axis=0) if text_pad is not None else None
+
+    def joint_last_query(t_ids, t_pad):
+        h = qformer_apply(tok_params["qformer"], feats, tcfg.qformer,
+                          text_ids=t_ids, text_pad=t_pad)
+        return h[:, tcfg.qformer.query_len - 1]   # last query token (:252)
+
+    pos = L.linear(itm_head, joint_last_query(text_ids, text_pad))
+    neg = L.linear(itm_head, joint_last_query(neg_text, neg_pad))
+    logits = jnp.concatenate([pos, neg], axis=0).astype(jnp.float32)
+    labels = jnp.concatenate([jnp.ones((B,), jnp.int32),
+                              jnp.zeros((B,), jnp.int32)])
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    return -jnp.mean(jnp.take_along_axis(logp, labels[:, None], 1))
+
+
+def stage1_caption_loss(tok_params, lm_head, images, text_ids, text_pad,
+                        cfg: Stage1Config):
+    """Captioning LM loss through the decoder-mode Q-Former
+    (blip2_qformer_casual.py:275-296)."""
+    from ..models.qformer import lm_head_apply, qformer_caption_apply
+    tcfg = cfg.tokenizer
+    sg = jax.lax.stop_gradient
+    feats = sg(vit_apply(tok_params["vit"], images, tcfg.vit))
+    feats = L.layer_norm(tok_params["ln_vision"], feats)
+    hidden = qformer_caption_apply(tok_params["qformer"], feats, text_ids,
+                                   tcfg.qformer, text_pad)
+    logits = lm_head_apply(lm_head, tok_params["qformer"]["embeddings"]
+                           ["word_embeddings"], hidden, tcfg.qformer)
+    from .losses import cross_entropy
+    labels = jnp.where(text_pad.astype(bool), text_ids, -100) \
+        if text_pad is not None else text_ids
+    return cross_entropy(logits[:, :-1], labels[:, 1:])
+
+
 # --------------------------- stage 2 ---------------------------------------
 
 @dataclass(frozen=True)

@@ -156,3 +156,66 @@ class TestBuilders:
         s = "".join(map(chr, [l for l in labels if 0 < l < 300]))
         assert "cat." in "".join(chr(l - 3) for l in labels
                                  if l >= 3 and l < 259)
+
+
+class TestMoreBuilders:
+    TOK = ByteTextTokenizer()
+
+    def test_interleaved_mmc4(self):
+        import random
+        from seed_tpu.data.builders import build_interleaved_example
+        rec = {"image_ids": [None, list(range(32)), None],
+               "texts": ["intro text", None, "outro"]}
+        ex = build_interleaved_example(rec, self.TOK, max_length=128,
+                                       reverse_ratio=0.0,
+                                       rng=random.Random(0))
+        ids = list(ex["input_ids"])
+        b = ids.index(BOI_TOKEN_ID)
+        assert ids[b + 33] == EOI_TOKEN_ID
+        # full-sequence LM: labels mirror ids on real tokens
+        real = ex["attention_mask"].astype(bool)
+        np.testing.assert_array_equal(ex["labels"][real], ex["input_ids"][real])
+
+    def test_interleaved_malformed_returns_none(self):
+        from seed_tpu.data.builders import build_interleaved_example
+        rec = {"image_ids": [list(range(32))], "texts": ["both set"]}
+        assert build_interleaved_example(rec, self.TOK) is None
+
+    def test_video_flat_frames(self):
+        from seed_tpu.data.builders import build_video_example
+        rec = {"image_ids": list(range(128)), "answer": "a moving cat"}
+        ex = build_video_example(rec, self.TOK, max_length=256)
+        ids = list(ex["input_ids"])
+        assert ids.count(BOI_TOKEN_ID) == 4 and ids.count(EOI_TOKEN_ID) == 4
+        # frames unsupervised, caption supervised
+        b = ids.index(BOI_TOKEN_ID)
+        assert ex["labels"][b] == IGNORE_INDEX
+        sup = [(i, l) for i, l in zip(ids, ex["labels"]) if l != IGNORE_INDEX]
+        assert all(i == l for i, l in sup) and len(sup) > 3
+
+    def test_edit_example_supervises_target_only(self):
+        from seed_tpu.data.builders import build_edit_example
+        rec = {"source_image_ids": list(range(32)),
+               "target_image_ids": list(range(32, 64)),
+               "instruction": "make it red"}
+        ex = build_edit_example(rec, self.TOK, max_length=160)
+        ids, labels = list(ex["input_ids"]), list(ex["labels"])
+        first_boi = ids.index(BOI_TOKEN_ID)
+        second_boi = ids.index(BOI_TOKEN_ID, first_boi + 1)
+        assert labels[first_boi + 1] == IGNORE_INDEX      # source masked
+        assert labels[second_boi + 1] == ids[second_boi + 1]  # target trained
+
+    def test_quality_filter(self):
+        from seed_tpu.data.pipeline import quality_filter
+        from PIL import Image
+        good = {"image": Image.new("RGB", (256, 256)), "text": "a cat photo"}
+        small = {"image": Image.new("RGB", (50, 50)), "text": "a cat"}
+        stretched = {"image": Image.new("RGB", (900, 128)), "text": "a cat"}
+        empty = {"image": Image.new("RGB", (256, 256)), "text": ""}
+        lowsim = {"image": Image.new("RGB", (256, 256)), "text": "x y",
+                  "meta": {"similarity": 0.1}}
+        assert quality_filter(good)
+        assert not quality_filter(small)
+        assert not quality_filter(stretched)
+        assert not quality_filter(empty)
+        assert not quality_filter(lowsim, min_similarity=0.28)

@@ -149,3 +149,43 @@ class TestCLIPVisionEmbed:
         img = jax.random.normal(jax.random.PRNGKey(2), (2, 28, 28, 3))
         emb = clip_image_embed(vit_p, head, img, TINY_VIT)
         assert emb.shape == (2, 16)
+
+
+class TestStage1Extras:
+    CFG1 = Stage1Config(tokenizer=TOK_CFG_TEXT, embed_dim=16)
+
+    def test_itm_loss_runs_and_separates(self):
+        import jax
+        from seed_tpu.train.tokenizer_training import (init_itm_head,
+                                                       stage1_itm_loss)
+        p = tok_params()
+        head = init_itm_head(jax.random.PRNGKey(5), self.CFG1)
+        b = batch()
+        loss = stage1_itm_loss(p, head, b["images"], b["text_ids"],
+                               b["text_pad"], self.CFG1, jax.random.PRNGKey(0))
+        assert np.isfinite(float(loss))
+        # gradient flows to the head and qformer
+        g = jax.grad(lambda h: stage1_itm_loss(
+            p, h, b["images"], b["text_ids"], b["text_pad"], self.CFG1,
+            None))(head)
+        assert np.abs(np.asarray(g["kernel"])).max() > 0
+
+    def test_caption_loss_runs(self):
+        import jax
+        from seed_tpu.models.qformer import init_lm_head
+        from seed_tpu.train.tokenizer_training import stage1_caption_loss
+        p = tok_params()
+        head = init_lm_head(jax.random.PRNGKey(6), TOK_CFG_TEXT.qformer)
+        b = batch()
+        loss = stage1_caption_loss(p, head, b["images"], b["text_ids"],
+                                   b["text_pad"], self.CFG1)
+        assert np.isfinite(float(loss))
+
+    def test_caption_mask_semantics(self):
+        """Queries must not see text; text sees queries + causal self."""
+        from seed_tpu.models.qformer import seed_caption_mask
+        m = np.asarray(seed_caption_mask(3, 4))[0, 0]
+        assert m[0, 0] and not m[0, 1]        # query causal
+        assert not m[0, 3]                     # query -/-> text
+        assert m[4, 0] and m[4, 3] and m[4, 4]  # text -> queries + self
+        assert not m[4, 5]                     # text causal
