@@ -13,11 +13,57 @@ reachable in bf16; we report honestly against it.)
 """
 import functools
 import json
+import os
 import time
 
 import jax
+
+# persistent compile cache: the axon tunnel recompiles are minutes-long
+_CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
+jax.config.update("jax_compilation_cache_dir", _CACHE)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 import jax.numpy as jnp
 import numpy as np
+
+
+def bench_decode_8b():
+    """Secondary metric: SEED-LLaMA-8B int8 decode tokens/sec/chip.
+
+    Runs the full 8B decoder (int8 weight-only — the reference's 8-bit
+    serving mode) with the ring KV cache on one chip. Returns tokens/sec
+    or None if it doesn't fit/compile on this chip."""
+    try:
+        from seed_tpu.models import llama as M
+        from seed_tpu.ops.quantization import quantize_tree
+
+        cfg = M.SEED_LLAMA_8B
+        # 8B bf16 (16GB) exceeds one v5e's HBM: init + quantize on host,
+        # ship int8 (~8GB) to the chip — exactly the 8-bit serving mode
+        cpu = jax.devices("cpu")[0]
+        with jax.default_device(cpu):
+            params = M.init_llama(jax.random.PRNGKey(0), cfg, jnp.bfloat16)
+            params = quantize_tree(params)
+        params = jax.device_put(params, jax.devices()[0])
+        B, prompt_len, steps = 8, 32, 64
+        cache = M.init_cache(cfg, B, 1024)
+        prefill = jax.jit(functools.partial(M.prefill, cfg=cfg))
+        decode = jax.jit(functools.partial(M.decode_step, cfg=cfg))
+        ids = jnp.ones((B, prompt_len), jnp.int32)
+        logits, cache = prefill(params, ids, cache)
+        tok = jnp.argmax(logits[:, -1:], -1).astype(jnp.int32)
+        logits, cache = decode(params, tok, cache)   # compile decode
+        np.asarray(logits[:, 0, 0])                  # sync
+        t0 = time.perf_counter()
+        for _ in range(steps):
+            logits, cache = decode(params, tok, cache)
+        np.asarray(logits[:, 0, 0])                  # sync point
+        dt = time.perf_counter() - t0
+        return B * steps / dt
+    except Exception as e:  # OOM / compile limits: report encode only
+        print(f"# decode bench skipped: {type(e).__name__}: {e}",
+              flush=True)
+        return None
 
 
 def main():
@@ -51,12 +97,16 @@ def main():
         results[batch] = batch / dt
 
     best = max(results.values())
+    detail = {f"batch_{k}": round(v, 2) for k, v in results.items()}
+    decode_tps = bench_decode_8b()
+    if decode_tps is not None:
+        detail["decode_8b_int8_tokens_per_sec"] = round(decode_tps, 2)
     out = {
         "metric": "images/sec/chip (SEED-2 tokenizer encode, bf16, 224x224)",
         "value": round(best, 2),
         "unit": "images/sec/chip",
         "vs_baseline": round(best / 5000.0, 4),
-        "detail": {f"batch_{k}": round(v, 2) for k, v in results.items()},
+        "detail": detail,
         "device": str(jax.devices()[0]),
     }
     print(json.dumps(out))

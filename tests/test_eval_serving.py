@@ -126,3 +126,35 @@ class TestGenerateService:
         back = np.asarray(decode_image_b64(b64), np.float32) / 255.0
         assert back.shape == (8, 8, 3)
         np.testing.assert_allclose(back, img, atol=0.01)
+
+
+class TestCaptionEvalLoop:
+    def test_evaluate_captions_end_to_end(self):
+        from seed_tpu.eval.caption_eval import dedupe_by_key, evaluate_captions
+        tok = ByteTextTokenizer()
+
+        def generate_fn(prompts):
+            return [tok.encode("a cat") for _ in prompts]
+
+        stream = [{"input_ids": np.zeros((2, 4), np.int32),
+                   "image_id": np.asarray([1, 2])},
+                  {"input_ids": np.zeros((2, 4), np.int32),
+                   "image_id": np.asarray([2, 3])}]   # dup id 2
+        ann = {1: ["a cat"], 2: ["a cat"], 3: ["a dog"]}
+        m = evaluate_captions(generate_fn, tok.decode, stream, ann)
+        assert m["num_evaluated"] == 3         # deduped
+        assert m["BLEU-1"] > 0.5               # 2/3 perfect
+
+    def test_fid_feature_harness(self):
+        from seed_tpu.eval.caption_eval import generate_images_for_fid
+
+        def decode_image_fn(codes):
+            return np.random.RandomState(int(codes.sum()) % 97).rand(
+                codes.shape[0], 8, 8, 3)
+
+        def feature_fn(images):
+            return images.reshape(images.shape[0], -1)[:, :16]
+
+        feats = generate_images_for_fid(
+            decode_image_fn, [np.ones((2, 32)), np.zeros((3, 32))], feature_fn)
+        assert feats.shape == (5, 16)
