@@ -38,11 +38,25 @@ def bench_decode_8b():
         from seed_tpu.ops.quantization import quantize_tree
 
         cfg = M.SEED_LLAMA_8B
-        # 8B bf16 (16GB) exceeds one v5e's HBM: init + quantize on host,
-        # ship int8 (~8GB) to the chip — exactly the 8-bit serving mode
+        # 8B bf16 (16GB) exceeds one v5e's HBM: build int8 weights host-side
+        # (throughput doesn't depend on values — cheap numpy fill instead of
+        # a 6.7B-sample PRNG) and ship ~8GB to the chip: the 8-bit serving
+        # memory layout.
         cpu = jax.devices("cpu")[0]
         with jax.default_device(cpu):
-            params = M.init_llama(jax.random.PRNGKey(0), cfg, jnp.bfloat16)
+            shapes = jax.eval_shape(
+                lambda k: M.init_llama(k, cfg, jnp.bfloat16),
+                jax.random.PRNGKey(0))
+            rng = np.random.RandomState(0)
+
+            def fill(s):
+                if s.dtype == jnp.bfloat16 and s.ndim >= 2:
+                    return jnp.asarray(
+                        rng.randint(-3, 4, size=s.shape, dtype=np.int8)
+                        .astype(np.float32) * 0.02, jnp.bfloat16)
+                return jnp.asarray(np.ones(s.shape, np.float32), s.dtype)
+
+            params = jax.tree.map(fill, shapes)
             params = quantize_tree(params)
         params = jax.device_put(params, jax.devices()[0])
         B, prompt_len, steps = 8, 32, 64

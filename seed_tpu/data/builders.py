@@ -225,6 +225,96 @@ def build_edit_example(
             "labels": np.asarray(labels, np.int32)}
 
 
+def build_story_example(
+    record: Dict[str, Any],
+    text_tokenizer,
+    max_length: int = 1024,
+) -> Optional[Dict[str, np.ndarray]]:
+    """Visual storytelling (VIST, torchdata_sft.py:681): alternating
+    sentence/image sequence, everything after the first image supervised."""
+    steps = record.get("story")  # [{"text": str, "image_ids": [...]}, ...]
+    if not steps:
+        return None
+    ids: List[int] = []
+    labels: List[int] = []
+    for i, step in enumerate(steps):
+        t = text_tokenizer.encode(str(step.get("text", "")))
+        seg = t + (image_token_ids(step["image_ids"])
+                   if step.get("image_ids") is not None else [])
+        ids.extend(seg)
+        # first frame is context; the continuation is supervised
+        labels.extend(([IGNORE_INDEX] * len(seg)) if i == 0 else seg)
+    ids = [text_tokenizer.bos_token_id] + ids + [text_tokenizer.eos_token_id]
+    labels = [IGNORE_INDEX] + labels + [text_tokenizer.eos_token_id]
+    mask = [1] * len(ids)
+    ids, mask, labels = _pad(ids, mask, labels, max_length)
+    return {"input_ids": np.asarray(ids, np.int32),
+            "attention_mask": np.asarray(mask, np.int32),
+            "labels": np.asarray(labels, np.int32)}
+
+
+def build_multi_image_qa_example(
+    record: Dict[str, Any],
+    text_tokenizer,
+    max_length: int = 512,
+    s_token: str = "USER:",
+    e_token: str = "ASSISTANT:",
+    sep: str = "\n",
+) -> Optional[Dict[str, np.ndarray]]:
+    """Multi-image QA (MIMIC-IT CGD spot-the-difference, torchdata_sft.py:612):
+    N images in the question prefix, answer supervised."""
+    images = record.get("images_ids") or record.get("image_ids_list")
+    if not images:
+        return None
+    q_ids = text_tokenizer.encode(s_token + " ")
+    for codes in images:
+        q_ids.extend(image_token_ids(codes))
+    q_ids.extend(text_tokenizer.encode(
+        str(record.get("question", "")) + sep + e_token))
+    a = str(record.get("answer", ""))
+    a_ids = text_tokenizer.encode(a if a.endswith(".") else a + ".")
+    ids = [text_tokenizer.bos_token_id] + q_ids + a_ids \
+        + [text_tokenizer.eos_token_id]
+    labels = ([IGNORE_INDEX] * (1 + len(q_ids)) + a_ids
+              + [text_tokenizer.eos_token_id])
+    mask = [1] * len(ids)
+    ids, mask, labels = _pad(ids, mask, labels, max_length)
+    return {"input_ids": np.asarray(ids, np.int32),
+            "attention_mask": np.asarray(mask, np.int32),
+            "labels": np.asarray(labels, np.int32)}
+
+
+def build_retrieval_augmented_example(
+    record: Dict[str, Any],
+    text_tokenizer,
+    max_length: int = 256,
+    num_retrieved: int = 2,
+    rng: Optional[random.Random] = None,
+) -> Optional[Dict[str, np.ndarray]]:
+    """Retrieval-augmented caption->image (torchdata_train.py:600-697):
+    retrieved neighbor captions prefix the target caption; only the target
+    image tokens are supervised."""
+    rng = rng or random
+    retrieved = list(record.get("retrieved_texts", []))[:num_retrieved]
+    text = record.get("text", "")
+    if not str(text).strip():
+        return None
+    prefix_ids: List[int] = []
+    for r in retrieved:
+        prefix_ids.extend(text_tokenizer.encode(str(r) + " "))
+    prefix_ids.extend(text_tokenizer.encode(str(text)))
+    target = image_token_ids(record["image_ids"])
+    ids = [text_tokenizer.bos_token_id] + prefix_ids + target \
+        + [text_tokenizer.eos_token_id]
+    labels = ([IGNORE_INDEX] * (1 + len(prefix_ids)) + target
+              + [text_tokenizer.eos_token_id])
+    mask = [1] * len(ids)
+    ids, mask, labels = _pad(ids, mask, labels, max_length)
+    return {"input_ids": np.asarray(ids, np.int32),
+            "attention_mask": np.asarray(mask, np.int32),
+            "labels": np.asarray(labels, np.int32)}
+
+
 # generation prompt templates for t2i SFT (torchdata_sft.py:17-37 ships 20;
 # representative set, used by build_caption_example(caption_prompts=...))
 GENERATION_PROMPTS = [

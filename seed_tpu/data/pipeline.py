@@ -144,6 +144,19 @@ def cycle(items: Sequence[str], count: Optional[int] = None,
         epoch += 1
 
 
+def resampled_shards(files: Sequence[str], seed: int = 0,
+                     epoch_size: Optional[int] = None) -> Iterator[str]:
+    """Sample shards WITH replacement (ResampledShards2, src/data/data.py:192)
+    — the 'infinite stream, statistically balanced' webdataset idiom."""
+    rng = random.Random(seed)
+    count = 0
+    while True:
+        yield rng.choice(list(files))
+        count += 1
+        if epoch_size is not None and count >= epoch_size:
+            return
+
+
 def shuffle_buffer(stream: Iterator, size: int, seed: int = 0) -> Iterator:
     rng = random.Random(seed)
     buf: List[Any] = []

@@ -219,3 +219,52 @@ class TestMoreBuilders:
         assert not quality_filter(stretched)
         assert not quality_filter(empty)
         assert not quality_filter(lowsim, min_similarity=0.28)
+
+
+class TestSFTBuilders2:
+    TOK = ByteTextTokenizer()
+
+    def test_story_builder(self):
+        from seed_tpu.data.builders import build_story_example
+        rec = {"story": [
+            {"text": "once upon a time", "image_ids": list(range(32))},
+            {"text": "then this", "image_ids": list(range(32, 64))}]}
+        ex = build_story_example(rec, self.TOK, max_length=256)
+        ids, labels = list(ex["input_ids"]), list(ex["labels"])
+        first_boi = ids.index(BOI_TOKEN_ID)
+        assert labels[first_boi] == IGNORE_INDEX          # context frame
+        second_boi = ids.index(BOI_TOKEN_ID, first_boi + 1)
+        assert labels[second_boi] == ids[second_boi]      # continuation
+
+    def test_multi_image_qa(self):
+        from seed_tpu.data.builders import build_multi_image_qa_example
+        rec = {"images_ids": [list(range(32)), list(range(32, 64))],
+               "question": "difference?", "answer": "color"}
+        ex = build_multi_image_qa_example(rec, self.TOK, max_length=320)
+        ids, labels = list(ex["input_ids"]), list(ex["labels"])
+        assert ids.count(BOI_TOKEN_ID) == 2
+        sup = [l for l in labels if l != IGNORE_INDEX]
+        assert len(sup) > 3  # answer + eos supervised
+        # images inside the question are NOT supervised
+        b = ids.index(BOI_TOKEN_ID)
+        assert labels[b + 1] == IGNORE_INDEX
+
+    def test_retrieval_augmented(self):
+        from seed_tpu.data.builders import build_retrieval_augmented_example
+        rec = {"text": "a red car", "image_ids": list(range(32)),
+               "retrieved_texts": ["a blue car", "a fast car"]}
+        ex = build_retrieval_augmented_example(rec, self.TOK, max_length=256)
+        ids, labels = list(ex["input_ids"]), list(ex["labels"])
+        b = ids.index(BOI_TOKEN_ID)
+        assert all(l == IGNORE_INDEX for l in labels[:b])   # text prefix
+        assert labels[b + 1] == ids[b + 1]                  # image supervised
+
+    def test_resampled_shards(self):
+        from seed_tpu.data.pipeline import resampled_shards
+        files = ["a", "b", "c"]
+        out = list(resampled_shards(files, seed=0, epoch_size=300))
+        assert len(out) == 300
+        assert set(out) == {"a", "b", "c"}
+        # with replacement: some shard repeats within any window of 4
+        assert any(out[i] == out[i + 1] or out[i] == out[i + 2]
+                   for i in range(50))
