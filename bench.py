@@ -45,24 +45,24 @@ def bench_decode_8b():
         cpu = jax.devices("cpu")[0]
         with jax.default_device(cpu):
             shapes = jax.eval_shape(
-                lambda k: M.init_llama(k, cfg, jnp.bfloat16),
+                lambda k: quantize_tree(M.init_llama(k, cfg, jnp.bfloat16)),
                 jax.random.PRNGKey(0))
             rng = np.random.RandomState(0)
 
             def fill(s):
-                if s.dtype == jnp.bfloat16 and s.ndim >= 2:
-                    return jnp.asarray(
-                        rng.randint(-3, 4, size=s.shape, dtype=np.int8)
-                        .astype(np.float32) * 0.02, jnp.bfloat16)
-                return jnp.asarray(np.ones(s.shape, np.float32), s.dtype)
+                if s.dtype == jnp.int8:
+                    return jnp.asarray(rng.randint(-127, 128, size=s.shape,
+                                                   dtype=np.int8))
+                return jnp.asarray(np.full(s.shape, 0.01, np.float32), s.dtype)
 
             params = jax.tree.map(fill, shapes)
-            params = quantize_tree(params)
         params = jax.device_put(params, jax.devices()[0])
         B, prompt_len, steps = 8, 32, 64
         cache = M.init_cache(cfg, B, 1024)
-        prefill = jax.jit(functools.partial(M.prefill, cfg=cfg))
-        decode = jax.jit(functools.partial(M.decode_step, cfg=cfg))
+        prefill = jax.jit(functools.partial(M.prefill, cfg=cfg),
+                          donate_argnums=(2,))
+        decode = jax.jit(functools.partial(M.decode_step, cfg=cfg),
+                         donate_argnums=(2,))
         ids = jnp.ones((B, prompt_len), jnp.int32)
         logits, cache = prefill(params, ids, cache)
         tok = jnp.argmax(logits[:, -1:], -1).astype(jnp.int32)

@@ -55,10 +55,12 @@ class LlamaEngine:
         self.buckets = sorted(b for b in prompt_buckets if b <= self.max_len)
         self.cache_dtype = cache_dtype
 
+        # donate the cache: in-place KV update buffers — without donation
+        # XLA keeps input+output cache copies alive (2x cache HBM)
         self._prefill = jax.jit(
-            functools.partial(M.prefill, cfg=cfg))
+            functools.partial(M.prefill, cfg=cfg), donate_argnums=(2,))
         self._decode = jax.jit(
-            functools.partial(M.decode_step, cfg=cfg))
+            functools.partial(M.decode_step, cfg=cfg), donate_argnums=(2,))
 
         def sample_fn(key, logits, temperature, top_p, top_k, do_sample):
             return sample(key, logits, temperature, top_p, top_k, do_sample)
