@@ -84,6 +84,10 @@ def main():
     from seed_tpu.models import SEED_TOKENIZER, encode, init_seed_tokenizer
     from seed_tpu.ops.preprocess import preprocess
 
+    # decode first: the 8B int8 weights (7GB) + cache (4.3GB) need the chip
+    # to themselves; encode's params would otherwise OOM it
+    decode_tps = bench_decode_8b()
+
     cfg = SEED_TOKENIZER
     params = init_seed_tokenizer(jax.random.PRNGKey(0), cfg, dtype=jnp.bfloat16)
     params = jax.device_put(params)
@@ -112,7 +116,6 @@ def main():
 
     best = max(results.values())
     detail = {f"batch_{k}": round(v, 2) for k, v in results.items()}
-    decode_tps = bench_decode_8b()
     if decode_tps is not None:
         detail["decode_8b_int8_tokens_per_sec"] = round(decode_tps, 2)
     out = {

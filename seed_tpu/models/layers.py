@@ -31,9 +31,24 @@ def gelu(x):
 def linear(p: Params, x: jnp.ndarray) -> jnp.ndarray:
     if "kernel_q" in p:
         # int8 weight-only path (ops/quantization.py): per-output-channel
-        # scale applied in the matmul epilogue — exact w.r.t. quantization
-        y = x @ p["kernel_q"].astype(x.dtype)
-        y = y * p["scale"].astype(y.dtype)
+        # scale applied in the matmul epilogue — exact w.r.t. quantization.
+        # On TPU, 2-D weights route through the fused Pallas kernel that
+        # dequantizes in VMEM (no bf16 weight copy in HBM).
+        wq = p["kernel_q"]
+        if wq.ndim == 2:
+            from ..ops.int8_matmul import can_use_kernel, int8_matmul
+            K, N = wq.shape
+            lead = x.shape[:-1]
+            M = 1
+            for d in lead:
+                M *= d
+            if can_use_kernel(M, K, N):
+                y = int8_matmul(x.reshape(M, K), wq, p["scale"])
+                y = y.reshape(*lead, N)
+            else:
+                y = (x @ wq.astype(x.dtype)) * p["scale"].astype(x.dtype)
+        else:
+            y = (x @ wq.astype(x.dtype)) * p["scale"].astype(x.dtype)
     else:
         y = x @ p["kernel"].astype(x.dtype)
     if "bias" in p:

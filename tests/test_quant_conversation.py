@@ -94,3 +94,41 @@ class TestConversation:
         conv = CONV_SEED_LLAMA.copy()
         with pytest.raises(AssertionError):
             conv.append("USER", "no flag here", images=["B64"])
+
+
+class TestInt8Kernel:
+    def test_kernel_matches_xla_reference(self):
+        from seed_tpu.ops.int8_matmul import int8_matmul
+        rng = np.random.RandomState(0)
+        M, K, N = 24, 256, 512
+        x = jnp.asarray(rng.randn(M, K), jnp.float32)
+        wq = jnp.asarray(rng.randint(-127, 128, (K, N)), jnp.int8)
+        scale = jnp.asarray(np.abs(rng.randn(N)) * 0.01, jnp.float32)
+        got = int8_matmul(x, wq, scale)
+        want = (x @ wq.astype(jnp.float32)) * scale
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=2e-4, atol=2e-3)
+
+    def test_kernel_k_tiling(self):
+        from seed_tpu.ops.int8_matmul import int8_matmul
+        rng = np.random.RandomState(1)
+        M, K, N = 16, 1024, 512   # 2 K-tiles
+        x = jnp.asarray(rng.randn(M, K), jnp.float32)
+        wq = jnp.asarray(rng.randint(-8, 9, (K, N)), jnp.int8)
+        scale = jnp.full((N,), 0.02, jnp.float32)
+        got = int8_matmul(x, wq, scale, block_k=512)
+        want = (x @ wq.astype(jnp.float32)) * scale
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=2e-4, atol=2e-3)
+
+    def test_linear_dispatches_and_matches(self):
+        from seed_tpu.ops.quantization import quantize_weight
+        w = jax.random.normal(jax.random.PRNGKey(0), (256, 512))
+        b = jax.random.normal(jax.random.PRNGKey(1), (512,))
+        x = jax.random.normal(jax.random.PRNGKey(2), (2, 8, 256))
+        q = dict(quantize_weight(w), bias=b)
+        got = L.linear(q, x)
+        want = x @ (q["kernel_q"].astype(jnp.float32)
+                    * q["scale"][None, :]) + b
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-3, atol=1e-3)
