@@ -27,6 +27,18 @@ from .. import BOI_TOKEN_ID, EOI_TOKEN_ID, IMAGE_ID_SHIFT
 IGNORE_INDEX = -100
 
 
+def clean_caption(caption: str, max_words: int = 50) -> str:
+    """Caption cleanup (blip_caption, blip_processors.py:28-69): lowercase,
+    strip odd punctuation, collapse whitespace, truncate words."""
+    import re as _re
+    cap = _re.sub(r"([.!\"()*#:;~])", " ", caption.lower())
+    cap = _re.sub(r"\s{2,}", " ", cap).rstrip("\n").strip(" ")
+    words = cap.split(" ")
+    if len(words) > max_words:
+        cap = " ".join(words[:max_words])
+    return cap
+
+
 def image_token_ids(image_ids: Sequence[int]) -> List[int]:
     return ([BOI_TOKEN_ID] + [int(i) + IMAGE_ID_SHIFT for i in image_ids]
             + [EOI_TOKEN_ID])

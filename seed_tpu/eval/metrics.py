@@ -161,6 +161,25 @@ def cider_d(candidates: List[str], references: List[List[str]],
     return float(np.mean(scores)) if scores else 0.0
 
 
+def vqa_accuracy(results: List[Dict], annotations: Dict[Any, List[str]]
+                 ) -> Dict[str, float]:
+    """VQA-style accuracy (eval/eval_vqa.py): min(matches/3, 1) over the
+    annotator answers, standard VQA normalization-lite."""
+    def norm(s):
+        return " ".join(str(s).lower().strip().strip(".").split())
+
+    accs = []
+    for r in results:
+        gts = annotations.get(r.get("question_id", r.get("image_id")))
+        if gts is None:
+            continue
+        pred = norm(r["answer"])
+        matches = sum(1 for g in gts if norm(g) == pred)
+        accs.append(min(matches / 3.0, 1.0))
+    return {"vqa_accuracy": float(np.mean(accs)) if accs else 0.0,
+            "num_evaluated": float(len(accs))}
+
+
 def caption_metrics(results: List[Dict], annotations: Dict[int, List[str]]
                     ) -> Dict[str, float]:
     """The CustomTrainer.compute_metrics contract (trainer.py:331-364):

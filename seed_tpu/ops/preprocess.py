@@ -51,6 +51,43 @@ def preprocess(images_u8: jnp.ndarray, image_size: int = 224,
     return normalize(x, dtype)
 
 
+def random_resized_crop_flip(
+    key: jax.Array,
+    images: jnp.ndarray,            # float [B, H, W, 3] in [0,1]
+    image_size: int = 224,
+    scale: Tuple[float, float] = (0.5, 1.0),
+    flip: bool = True,
+    dtype=jnp.float32,
+) -> jnp.ndarray:
+    """Training augmentation (blip2_image_train, blip_processors.py:226+):
+    per-example random-area crop + horizontal flip + CLIP normalize, fully
+    on device and batched (static shapes: crop via scale-and-translate
+    resize rather than dynamic slicing)."""
+    B, H, W, _ = images.shape
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    area = jax.random.uniform(k1, (B,), minval=scale[0], maxval=scale[1])
+    side = jnp.sqrt(area)                       # aspect kept ~1 for TPU shapes
+    max_off_h = (1.0 - side) * H
+    max_off_w = (1.0 - side) * W
+    off_h = jax.random.uniform(k2, (B,)) * max_off_h
+    off_w = jax.random.uniform(k3, (B,)) * max_off_w
+
+    def crop_one(img, s, oh, ow):
+        sc = image_size / (s * H)
+        return jax.image.scale_and_translate(
+            img.astype(jnp.float32),
+            (image_size, image_size, 3),
+            (0, 1), jnp.asarray([sc, sc]),
+            jnp.asarray([-oh * sc, -ow * sc]),
+            method="bilinear")
+
+    out = jax.vmap(crop_one)(images, side, off_h, off_w)
+    if flip:
+        do = jax.random.bernoulli(k4, 0.5, (B,))
+        out = jnp.where(do[:, None, None, None], out[:, :, ::-1, :], out)
+    return normalize(jnp.clip(out, 0.0, 1.0), dtype)
+
+
 def center_crop_resize(images_u8: jnp.ndarray, image_size: int = 224,
                        dtype=jnp.bfloat16) -> jnp.ndarray:
     """Resize-shortest-side + center-crop variant (models/transforms.py:8-12).
