@@ -137,7 +137,7 @@ def rope(x: jnp.ndarray, positions: jnp.ndarray,
 # ----------------------------- layer forward -------------------------------
 
 def _layer_apply(p, x, positions, mask, cfg: LlamaConfig,
-                 layer_cache=None, cache_index=None):
+                 layer_cache=None, cache_index=None, use_flash=False):
     """One decoder layer. Returns (x, new_layer_cache or None)."""
     B, N, d = x.shape
     H, Hkv, hd = cfg.heads, cfg.kv_heads, cfg.head_dim
@@ -157,7 +157,14 @@ def _layer_apply(p, x, positions, mask, cfg: LlamaConfig,
         k, v = ck.astype(q.dtype), cv.astype(q.dtype)
         new_cache = (ck, cv)
 
-    o = mha(q, k, v, mask=mask).reshape(B, N, d)
+    if use_flash and layer_cache is None:
+        # training path: Pallas flash attention (O(S) memory). Right-padded
+        # batches are safe under pure causal masking — real tokens never
+        # attend forward into padding; pad positions carry no loss.
+        from ..ops.flash_attention import flash_attention
+        o = flash_attention(q, k, v, causal=True).reshape(B, N, d)
+    else:
+        o = mha(q, k, v, mask=mask).reshape(B, N, d)
     x = x + L.linear(p["o_proj"], o)
 
     h = L.rms_norm(p["post_attention_layernorm"], x, cfg.rms_eps)
@@ -181,11 +188,13 @@ def _logits(params, x, cfg: LlamaConfig) -> jnp.ndarray:
 def forward(params, input_ids: jnp.ndarray, cfg: LlamaConfig,
             positions: Optional[jnp.ndarray] = None,
             attn_mask: Optional[jnp.ndarray] = None,
-            remat: bool = False) -> jnp.ndarray:
+            remat: bool = False, use_flash: bool = False) -> jnp.ndarray:
     """Training/eval forward over a full sequence -> logits [B, N, V].
 
     ``attn_mask`` [B, N] (1 = real token) combines with the causal mask —
     matching LlamaModel.forward (llama_xformer.py:496-560).
+    ``use_flash`` routes attention through the Pallas flash kernel
+    (right-padding assumed; attn_mask then only affects the loss side).
     """
     B, N = input_ids.shape
     x = L.embed(params["embed_tokens"], input_ids)
@@ -195,16 +204,17 @@ def forward(params, input_ids: jnp.ndarray, cfg: LlamaConfig,
     if attn_mask is not None:
         mask = mask & attn_mask[:, None, None, :].astype(bool)
 
-    body = _layer_apply
     if remat:
         body = jax.checkpoint(
-            lambda p, xx: _layer_apply(p, xx, positions, mask, cfg)[0])
+            lambda p, xx: _layer_apply(p, xx, positions, mask, cfg,
+                                       use_flash=use_flash)[0])
 
         def step(carry, lp):
             return body(lp, carry), None
     else:
         def step(carry, lp):
-            return _layer_apply(lp, carry, positions, mask, cfg)[0], None
+            return _layer_apply(lp, carry, positions, mask, cfg,
+                                use_flash=use_flash)[0], None
 
     x, _ = jax.lax.scan(step, x, params["layers"])
     return _logits(params, x, cfg)

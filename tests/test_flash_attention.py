@@ -76,3 +76,36 @@ class TestFlashBackward:
         for a, b in zip(g1, g2):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        rtol=3e-3, atol=3e-3)
+
+
+class TestFlashInLlama:
+    def test_forward_flash_matches_xla(self):
+        """use_flash=True must match the XLA path for right-padded input."""
+        import jax.numpy as jnp
+        from seed_tpu.models import llama as M
+        cfg = M.LlamaConfig(vocab_size=300, dim=64, layers=2, heads=2,
+                            kv_heads=2, ffn_dim=128, max_seq_len=512)
+        params = M.init_llama(jax.random.PRNGKey(0), cfg, dtype=jnp.float32)
+        ids = jnp.asarray(np.random.RandomState(0).randint(
+            3, 280, size=(2, 256)), jnp.int32)
+        a = np.asarray(M.forward(params, ids, cfg))
+        b = np.asarray(M.forward(params, ids, cfg, use_flash=True))
+        np.testing.assert_allclose(a, b, rtol=3e-3, atol=3e-3)
+
+    def test_flash_grads_flow(self):
+        import jax.numpy as jnp
+        from seed_tpu.models import llama as M
+        from seed_tpu.train import next_token_loss
+        cfg = M.LlamaConfig(vocab_size=300, dim=64, layers=2, heads=2,
+                            kv_heads=2, ffn_dim=128, max_seq_len=512)
+        params = M.init_llama(jax.random.PRNGKey(0), cfg, dtype=jnp.float32)
+        ids = jnp.asarray(np.random.RandomState(0).randint(
+            3, 280, size=(1, 256)), jnp.int32)
+
+        def loss(p):
+            return next_token_loss(
+                M.forward(p, ids, cfg, use_flash=True, remat=True), ids)
+
+        g = jax.grad(loss)(params)
+        gmax = max(np.abs(np.asarray(x)).max() for x in jax.tree.leaves(g))
+        assert np.isfinite(gmax) and gmax > 0
