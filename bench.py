@@ -57,8 +57,8 @@ def bench_decode_8b():
 
             params = jax.tree.map(fill, shapes)
         params = jax.device_put(params, jax.devices()[0])
-        B, prompt_len, steps = 8, 32, 64
-        cache = M.init_cache(cfg, B, 1024)
+        B, prompt_len, steps = 32, 32, 64
+        cache = M.init_cache(cfg, B, 512)
         prefill = jax.jit(functools.partial(M.prefill, cfg=cfg),
                           donate_argnums=(2,))
         decode = jax.jit(functools.partial(M.decode_step, cfg=cfg),

@@ -249,13 +249,25 @@ def prefill(params, input_ids: jnp.ndarray, cache: KVCache,
     causal = sliced_causal_mask(N, S, cache.index)                   # [1,1,N,S]
     mask = causal & new_valid[:, None, None, :]
 
-    def step(carry, inputs):
-        lp, ck, cv = inputs
-        h, new = _layer_apply(lp, carry, positions, mask, cfg,
-                              layer_cache=(ck, cv), cache_index=cache.index)
-        return h, new
+    # The cache rides the scan CARRY (not xs/ys): with donated inputs XLA
+    # keeps ONE cache buffer alive and updates slices in place — passing
+    # k/v as scanned xs with stacked ys doubled cache HBM (observed OOM at
+    # batch 32 on one v5e).
+    L_ = cache.k.shape[0]
 
-    x, (k_new, v_new) = jax.lax.scan(step, x, (params["layers"], cache.k, cache.v))
+    def step(carry, inputs):
+        h, ck_all, cv_all = carry
+        lp, i = inputs
+        h, (ck, cv) = _layer_apply(lp, h, positions, mask, cfg,
+                                   layer_cache=(ck_all[i], cv_all[i]),
+                                   cache_index=cache.index)
+        ck_all = jax.lax.dynamic_update_index_in_dim(ck_all, ck, i, 0)
+        cv_all = jax.lax.dynamic_update_index_in_dim(cv_all, cv, i, 0)
+        return (h, ck_all, cv_all), None
+
+    (x, k_new, v_new), _ = jax.lax.scan(
+        step, (x, cache.k, cache.v),
+        (params["layers"], jnp.arange(L_, dtype=jnp.int32)))
     new_cache = KVCache(k_new, v_new, new_valid, cache.index + N)
     return _logits(params, x, cfg), new_cache
 
