@@ -276,3 +276,133 @@ def decode_step(params, input_ids: jnp.ndarray, cache: KVCache,
                 cfg: LlamaConfig) -> Tuple[jnp.ndarray, KVCache]:
     """One autoregressive step: ids [B, 1] -> logits [B, 1, V] + new cache."""
     return prefill(params, input_ids, cache, cfg)
+
+
+# --------------------- per-slot cache (continuous batching) -----------------
+
+class SlotCache(NamedTuple):
+    """KV cache with per-slot write positions: each batch row is an
+    independent request slot that can be filled/evicted at any time —
+    the substrate for continuous batching (left-aligned occupancy per
+    slot; no global cursor)."""
+    k: jnp.ndarray          # [L, B, S, H_kv, D]
+    v: jnp.ndarray
+    length: jnp.ndarray     # [B] int32 — tokens held per slot
+
+
+def init_slot_cache(cfg: LlamaConfig, slots: int,
+                    max_len: Optional[int] = None,
+                    dtype=jnp.bfloat16) -> SlotCache:
+    S = max_len or cfg.max_seq_len
+    shape = (cfg.layers, slots, S, cfg.kv_heads, cfg.head_dim)
+    return SlotCache(jnp.zeros(shape, dtype), jnp.zeros(shape, dtype),
+                     jnp.zeros((slots,), jnp.int32))
+
+
+def slot_prefill(params, input_ids: jnp.ndarray, n_tokens: jnp.ndarray,
+                 slot: jnp.ndarray, cache: SlotCache,
+                 cfg: LlamaConfig) -> Tuple[jnp.ndarray, SlotCache]:
+    """Prefill ONE slot with a right-padded prompt [1, N] holding
+    ``n_tokens`` real tokens; other slots untouched. Returns the slot's
+    next-token logits [1, V] and the updated cache. ``slot``/``n_tokens``
+    are traced scalars: one compiled program serves every slot."""
+    N = input_ids.shape[1]
+    S = cache.k.shape[2]
+    x = L.embed(params["embed_tokens"], input_ids)
+    positions = jnp.arange(N, dtype=jnp.int32)[None, :]
+    col = jax.lax.broadcasted_iota(jnp.int32, (N, N), 1)
+    row = jax.lax.broadcasted_iota(jnp.int32, (N, N), 0)
+    mask = ((col <= row) & (col < n_tokens))[None, None]
+
+    def step(carry, inputs):
+        h, ck_all, cv_all = carry
+        lp, i = inputs
+        B1, _, _ = h.shape
+        hd = cfg.head_dim
+        hh = L.rms_norm(lp["input_layernorm"], h, cfg.rms_eps)
+        q = L.linear(lp["q_proj"], hh).reshape(B1, N, cfg.heads, hd)
+        kk = L.linear(lp["k_proj"], hh).reshape(B1, N, cfg.kv_heads, hd)
+        vv = L.linear(lp["v_proj"], hh).reshape(B1, N, cfg.kv_heads, hd)
+        q = rope(q, positions, cfg.rope_theta)
+        kk = rope(kk, positions, cfg.rope_theta)
+        o = mha(q, kk, vv, mask=mask).reshape(B1, N, cfg.dim)
+        h = h + L.linear(lp["o_proj"], o)
+        hn = L.rms_norm(lp["post_attention_layernorm"], h, cfg.rms_eps)
+        gate = jax.nn.silu(L.linear(lp["gate_proj"], hn))
+        h = h + L.linear(lp["down_proj"], gate * L.linear(lp["up_proj"], hn))
+        # write this layer's k/v into the slot at positions [0, N)
+        pad = jnp.zeros((1, S - N, cfg.kv_heads, hd), ck_all.dtype)
+        k_row = jnp.concatenate([kk.astype(ck_all.dtype), pad], axis=1)
+        v_row = jnp.concatenate([vv.astype(cv_all.dtype), pad], axis=1)
+        ck_all = jax.lax.dynamic_update_slice(ck_all, k_row[None],
+                                              (i, slot, 0, 0, 0))
+        cv_all = jax.lax.dynamic_update_slice(cv_all, v_row[None],
+                                              (i, slot, 0, 0, 0))
+        return (h, ck_all, cv_all), None
+
+    L_ = cache.k.shape[0]
+    (x, k_new, v_new), _ = jax.lax.scan(
+        step, (x, cache.k, cache.v),
+        (params["layers"], jnp.arange(L_, dtype=jnp.int32)))
+    logits = _logits(params, x, cfg)
+    last = jnp.take_along_axis(logits, (n_tokens - 1)[None, None, None],
+                               axis=1)[:, 0]
+    new_len = cache.length.at[slot].set(n_tokens)
+    return last, SlotCache(k_new, v_new, new_len)
+
+
+def slot_decode(params, input_ids: jnp.ndarray, active: jnp.ndarray,
+                cache: SlotCache, cfg: LlamaConfig
+                ) -> Tuple[jnp.ndarray, SlotCache]:
+    """One decode step for ALL slots; ``active`` [B] bool gates cache
+    writes and length increments for occupied slots. ids [B, 1]."""
+    B = input_ids.shape[0]
+    S = cache.k.shape[2]
+    x = L.embed(params["embed_tokens"], input_ids)
+    positions = cache.length[:, None]
+    col = jax.lax.broadcasted_iota(jnp.int32, (1, S), 1)[None, None]
+    mask = col <= cache.length[:, None, None, None]   # [B,1,1,S]
+
+    rows = jnp.arange(B)
+
+    def step(carry, inputs):
+        h, ck_all, cv_all = carry
+        lp, i = inputs
+        hd = cfg.head_dim
+        hh = L.rms_norm(lp["input_layernorm"], h, cfg.rms_eps)
+        q = L.linear(lp["q_proj"], hh).reshape(B, 1, cfg.heads, hd)
+        kk = L.linear(lp["k_proj"], hh).reshape(B, 1, cfg.kv_heads, hd)
+        vv = L.linear(lp["v_proj"], hh).reshape(B, 1, cfg.kv_heads, hd)
+        q = rope(q, positions, cfg.rope_theta)
+        kk = rope(kk, positions, cfg.rope_theta)
+        # scatter each row's k/v at its own write position; inactive rows
+        # write to the dead slot S-1... no: redirect inactive writes to a
+        # position they already mask out is unsafe if another row uses it,
+        # but positions are PER-ROW, so writing the inactive row's own
+        # clipped cursor only touches that row. Preserve by rewriting the
+        # old value for inactive rows.
+        ck = ck_all[i]
+        cv = cv_all[i]
+        pos = cache.length.clip(0, S - 1)
+        old_k = ck[rows, pos]
+        old_v = cv[rows, pos]
+        kk_w = jnp.where(active[:, None, None], kk[:, 0].astype(ck.dtype), old_k)
+        vv_w = jnp.where(active[:, None, None], vv[:, 0].astype(cv.dtype), old_v)
+        ck = ck.at[rows, pos].set(kk_w)
+        cv = cv.at[rows, pos].set(vv_w)
+        o = mha(q, ck.astype(q.dtype), cv.astype(q.dtype), mask=mask)
+        h = h + L.linear(lp["o_proj"], o.reshape(B, 1, cfg.dim))
+        hn = L.rms_norm(lp["post_attention_layernorm"], h, cfg.rms_eps)
+        gate = jax.nn.silu(L.linear(lp["gate_proj"], hn))
+        h = h + L.linear(lp["down_proj"], gate * L.linear(lp["up_proj"], hn))
+        ck_all = jax.lax.dynamic_update_index_in_dim(ck_all, ck, i, 0)
+        cv_all = jax.lax.dynamic_update_index_in_dim(cv_all, cv, i, 0)
+        return (h, ck_all, cv_all), None
+
+    L_ = cache.k.shape[0]
+    (x, k_new, v_new), _ = jax.lax.scan(
+        step, (x, cache.k, cache.v),
+        (params["layers"], jnp.arange(L_, dtype=jnp.int32)))
+    logits = _logits(params, x, cfg)[:, 0]
+    new_len = jnp.where(active, cache.length + 1, cache.length)
+    return logits, SlotCache(k_new, v_new, new_len)

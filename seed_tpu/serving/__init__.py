@@ -1,9 +1,14 @@
+from .conversation import (CONV_LLAMA_2, CONV_SEED_LLAMA, Conversation,
+                           SeparatorStyle)
 from .engine import GenerationConfig, LlamaEngine
 from .multimodal import (ByteTextTokenizer, HFTextTokenizer, PromptTemplate,
                          Segment, SeedLlamaInterface, image_ids_to_tokens)
+from .scheduler import ContinuousBatcher, Request
 
 __all__ = [
+    "CONV_LLAMA_2", "CONV_SEED_LLAMA", "Conversation", "SeparatorStyle",
     "GenerationConfig", "LlamaEngine",
     "ByteTextTokenizer", "HFTextTokenizer", "PromptTemplate", "Segment",
     "SeedLlamaInterface", "image_ids_to_tokens",
+    "ContinuousBatcher", "Request",
 ]

@@ -1,0 +1,153 @@
+"""Continuous batching scheduler.
+
+The throughput serving mode (BASELINE.json config #4): a fixed pool of
+decode slots runs in lockstep; finished requests free their slot
+immediately and queued requests are prefilled into free slots between
+decode steps — no waiting for the whole batch to drain (the reference's
+HF generate serves one request at a time, seed_llama_flask.py:172).
+
+Static XLA shapes throughout: two compiled programs total —
+``slot_prefill`` (one program per prompt bucket) and ``slot_decode``
+(one program). Slot state lives on device in the SlotCache; the
+scheduler only moves token ids.
+"""
+from __future__ import annotations
+
+import collections
+import functools
+import itertools
+from dataclasses import dataclass, field
+from typing import Callable, Dict, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models import llama as M
+from ..ops.sampling import sample
+from .engine import GenerationConfig
+
+
+@dataclass
+class Request:
+    request_id: int
+    prompt: List[int]
+    gen: GenerationConfig
+    tokens: List[int] = field(default_factory=list)
+    done: bool = False
+
+
+class ContinuousBatcher:
+    def __init__(self, params, cfg: M.LlamaConfig, slots: int = 8,
+                 max_len: Optional[int] = None,
+                 prompt_buckets: Sequence[int] = (32, 64, 128, 256, 512),
+                 cache_dtype=jnp.bfloat16, seed: int = 0):
+        self.params = params
+        self.cfg = cfg
+        self.slots = slots
+        self.max_len = max_len or cfg.max_seq_len
+        self.buckets = sorted(b for b in prompt_buckets if b < self.max_len)
+        self.cache = M.init_slot_cache(cfg, slots, self.max_len, cache_dtype)
+        self._prefill = jax.jit(functools.partial(M.slot_prefill, cfg=cfg),
+                                donate_argnums=(4,))
+        self._decode = jax.jit(functools.partial(M.slot_decode, cfg=cfg),
+                               donate_argnums=(3,))
+        self._sample = jax.jit(
+            lambda key, logits, t, p, k, s: sample(key, logits, t, p, k, s),
+            static_argnums=(2, 3, 4, 5))
+        self.key = jax.random.PRNGKey(seed)
+        self.queue: collections.deque = collections.deque()
+        self.active: List[Optional[Request]] = [None] * slots
+        self.next_tok = np.zeros(slots, np.int32)
+        self._id_counter = itertools.count()
+        self.finished: Dict[int, Request] = {}
+
+    # ------------------------------ API ------------------------------------
+
+    def submit(self, prompt: Sequence[int],
+               gen: Optional[GenerationConfig] = None) -> int:
+        gen = gen or GenerationConfig()
+        rid = next(self._id_counter)
+        self.queue.append(Request(rid, list(prompt), gen))
+        return rid
+
+    def has_work(self) -> bool:
+        return bool(self.queue) or any(r is not None for r in self.active)
+
+    def run(self, max_steps: int = 10_000) -> Dict[int, List[int]]:
+        """Drain all submitted requests; returns {request_id: tokens}."""
+        for _ in range(max_steps):
+            if not self.has_work():
+                break
+            self.step()
+        return {rid: r.tokens for rid, r in self.finished.items()}
+
+    # ----------------------------- internals --------------------------------
+
+    def _bucket(self, n: int) -> int:
+        for b in self.buckets:
+            if n <= b:
+                return b
+        return self.buckets[-1]
+
+    def _admit(self):
+        """Prefill queued requests into free slots."""
+        for slot in range(self.slots):
+            if self.active[slot] is not None or not self.queue:
+                continue
+            req = self.queue.popleft()
+            n = len(req.prompt)
+            bucket = self._bucket(n)
+            ids = np.zeros((1, bucket), np.int32)
+            ids[0, :n] = req.prompt[:bucket]
+            logits, self.cache = self._prefill(
+                self.params, jnp.asarray(ids),
+                jnp.asarray(min(n, bucket), jnp.int32),
+                jnp.asarray(slot, jnp.int32), self.cache)
+            tok = self._pick(logits, req, first=True)
+            self.active[slot] = req
+            self.next_tok[slot] = tok
+            req.tokens.append(int(tok))
+            self._maybe_finish(slot)
+
+    def _pick(self, logits, req: Request, first: bool = False) -> int:
+        g = req.gen
+        if first and g.forced_first_token is not None:
+            return g.forced_first_token
+        self.key, sub = jax.random.split(self.key)
+        tok = self._sample(sub, logits, g.temperature, g.top_p, g.top_k,
+                           g.do_sample)
+        return int(np.asarray(tok)[0])
+
+    def _maybe_finish(self, slot: int):
+        req = self.active[slot]
+        if req is None:
+            return
+        hit_eos = req.tokens and req.tokens[-1] == req.gen.eos_token_id
+        full = (len(req.tokens) >= req.gen.max_new_tokens
+                or len(req.prompt) + len(req.tokens) >= self.max_len - 1)
+        if hit_eos or full:
+            if hit_eos:
+                req.tokens.pop()
+            req.done = True
+            self.finished[req.request_id] = req
+            self.active[slot] = None   # slot freed for the next admit
+
+    def step(self):
+        self._admit()
+        active_mask = np.asarray([r is not None for r in self.active])
+        if not active_mask.any():
+            return
+        ids = self.next_tok.copy().reshape(self.slots, 1)
+        logits, self.cache = self._decode(
+            self.params, jnp.asarray(ids), jnp.asarray(active_mask),
+            self.cache)
+        logits_np_rows = logits  # [slots, V] on device; sample per row
+        for slot in range(self.slots):
+            req = self.active[slot]
+            if req is None:
+                continue
+            tok = self._pick(logits_np_rows[slot:slot + 1], req)
+            req.tokens.append(tok)
+            self.next_tok[slot] = tok
+            self._maybe_finish(slot)

@@ -1,0 +1,122 @@
+"""Continuous batching: per-slot cache semantics + scheduler correctness."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from seed_tpu.models import llama as M
+from seed_tpu.serving import GenerationConfig, LlamaEngine
+from seed_tpu.serving.scheduler import ContinuousBatcher
+
+CFG = M.TINY_LLAMA
+
+
+@pytest.fixture(scope="module")
+def params():
+    return M.init_llama(jax.random.PRNGKey(0), CFG, dtype=jnp.float32)
+
+
+class TestSlotCache:
+    def test_slot_prefill_matches_batch_prefill(self, params):
+        """A slot-prefilled prompt must yield the same next-token logits as
+        the batch engine's prefill."""
+        seq = [4, 8, 15, 16, 23]
+        cache0 = M.init_cache(CFG, 1, 32, dtype=jnp.float32)
+        l0, _ = M.prefill(params, jnp.asarray([seq], jnp.int32), cache0, CFG)
+        want = np.asarray(l0)[:, -1]
+
+        scache = M.init_slot_cache(CFG, slots=3, max_len=32,
+                                   dtype=jnp.float32)
+        padded = np.zeros((1, 8), np.int32)
+        padded[0, :5] = seq
+        got, scache = M.slot_prefill(params, jnp.asarray(padded),
+                                     jnp.asarray(5), jnp.asarray(1),
+                                     scache, CFG)
+        np.testing.assert_allclose(want, np.asarray(got), rtol=2e-4, atol=2e-4)
+        assert int(scache.length[1]) == 5
+        assert int(scache.length[0]) == 0
+
+    def test_slot_decode_matches_batch_decode(self, params):
+        seq = [4, 8, 15]
+        # reference: batch path
+        cache0 = M.init_cache(CFG, 1, 32, dtype=jnp.float32)
+        l0, cache0 = M.prefill(params, jnp.asarray([seq], jnp.int32),
+                               cache0, CFG)
+        tok = int(np.asarray(l0)[0, -1].argmax())
+        l1, _ = M.decode_step(params, jnp.asarray([[tok]], jnp.int32),
+                              cache0, CFG)
+        want = np.asarray(l1)[0, 0]
+
+        # slot path (slot 2 of 4)
+        scache = M.init_slot_cache(CFG, 4, 32, dtype=jnp.float32)
+        padded = np.zeros((1, 8), np.int32)
+        padded[0, :3] = seq
+        _, scache = M.slot_prefill(params, jnp.asarray(padded),
+                                   jnp.asarray(3), jnp.asarray(2), scache, CFG)
+        ids = np.zeros((4, 1), np.int32)
+        ids[2, 0] = tok
+        active = jnp.asarray([False, False, True, False])
+        logits, scache = M.slot_decode(params, jnp.asarray(ids), active,
+                                       scache, CFG)
+        np.testing.assert_allclose(want, np.asarray(logits)[2],
+                                   rtol=2e-4, atol=2e-4)
+        assert int(scache.length[2]) == 4
+        assert int(scache.length[0]) == 0  # inactive slots untouched
+
+    def test_inactive_slots_preserved(self, params):
+        """Decoding with one active slot must not corrupt another slot's
+        cache contents."""
+        scache = M.init_slot_cache(CFG, 2, 16, dtype=jnp.float32)
+        p1 = np.zeros((1, 8), np.int32); p1[0, :3] = [4, 8, 15]
+        _, scache = M.slot_prefill(params, jnp.asarray(p1), jnp.asarray(3),
+                                   jnp.asarray(0), scache, CFG)
+        snapshot = np.asarray(scache.k[:, 0, :3])
+        # decode only slot 1 (which is empty but active=False for slot 0)
+        ids = np.zeros((2, 1), np.int32)
+        _, scache = M.slot_decode(params, jnp.asarray(ids),
+                                  jnp.asarray([False, True]), scache, CFG)
+        np.testing.assert_array_equal(snapshot, np.asarray(scache.k[:, 0, :3]))
+
+
+class TestContinuousBatcher:
+    def test_matches_engine_greedy(self, params):
+        gen = GenerationConfig(max_new_tokens=6, do_sample=False,
+                               eos_token_id=-1)
+        want = LlamaEngine(params, CFG, max_len=64,
+                           cache_dtype=jnp.float32).generate([[1, 5, 9]], gen)[0]
+
+        cb = ContinuousBatcher(params, CFG, slots=2, max_len=64,
+                               cache_dtype=jnp.float32)
+        rid = cb.submit([1, 5, 9], gen)
+        out = cb.run()
+        assert out[rid] == want
+
+    def test_more_requests_than_slots(self, params):
+        gen = GenerationConfig(max_new_tokens=4, do_sample=False,
+                               eos_token_id=-1)
+        cb = ContinuousBatcher(params, CFG, slots=2, max_len=64,
+                               cache_dtype=jnp.float32)
+        prompts = [[1, 5, 9], [2, 7], [3, 3, 3, 3], [11, 12]]
+        rids = [cb.submit(p, gen) for p in prompts]
+        out = cb.run()
+        assert set(out) == set(rids)
+        # each result equals the solo-engine result
+        eng = LlamaEngine(params, CFG, max_len=64, cache_dtype=jnp.float32)
+        for rid, p in zip(rids, prompts):
+            assert out[rid] == eng.generate([p], gen)[0], p
+
+    def test_interleaved_admission(self, params):
+        """A request submitted while others are decoding still completes
+        and matches the solo result."""
+        gen = GenerationConfig(max_new_tokens=5, do_sample=False,
+                               eos_token_id=-1)
+        cb = ContinuousBatcher(params, CFG, slots=2, max_len=64,
+                               cache_dtype=jnp.float32)
+        r1 = cb.submit([1, 5, 9], gen)
+        cb.step()
+        cb.step()
+        r2 = cb.submit([2, 7, 4], gen)  # admitted mid-flight
+        out = cb.run()
+        eng = LlamaEngine(params, CFG, max_len=64, cache_dtype=jnp.float32)
+        assert out[r1] == eng.generate([[1, 5, 9]], gen)[0]
+        assert out[r2] == eng.generate([[2, 7, 4]], gen)[0]
