@@ -47,6 +47,10 @@ class LlamaConfig:
     max_seq_len: int = 2048
     rope_theta: float = 10000.0
     rms_eps: float = 1e-6          # vicuna-7b (llama1); llama2 uses 1e-5
+    # context extension (modeling_llama_4_35_0.py:145-187):
+    # "linear" divides positions by the factor; "ntk" rescales theta
+    rope_scaling: Optional[str] = None
+    rope_scaling_factor: float = 1.0
 
     @property
     def head_dim(self) -> int:
@@ -117,13 +121,20 @@ def init_llama(key, cfg: LlamaConfig, dtype=jnp.bfloat16):
 # ------------------------------ rope ---------------------------------------
 
 def rope(x: jnp.ndarray, positions: jnp.ndarray,
-         theta: float = 10000.0) -> jnp.ndarray:
+         theta: float = 10000.0, scaling: Optional[str] = None,
+         factor: float = 1.0) -> jnp.ndarray:
     """Rotary embedding, half-split pairing (HF llama rotate_half).
 
-    x [B, N, H, D], positions [B, N] or [N]."""
+    x [B, N, H, D], positions [B, N] or [N]. ``scaling`` implements the
+    HF context-extension variants (modeling_llama_4_35_0.py:145-187):
+    linear = position interpolation; ntk = dynamic base rescale."""
     D = x.shape[-1]
+    if scaling == "ntk" and factor != 1.0:
+        theta = theta * (factor ** (D / max(1, D - 2)))
     inv = 1.0 / (theta ** (jnp.arange(0, D, 2, dtype=jnp.float32) / D))
     pos = positions.astype(jnp.float32)
+    if scaling == "linear" and factor != 1.0:
+        pos = pos / factor
     if pos.ndim == 1:
         pos = pos[None, :]
     freqs = pos[..., None] * inv          # [B, N, D/2]
@@ -146,8 +157,10 @@ def _layer_apply(p, x, positions, mask, cfg: LlamaConfig,
     q = L.linear(p["q_proj"], h).reshape(B, N, H, hd)
     k = L.linear(p["k_proj"], h).reshape(B, N, Hkv, hd)
     v = L.linear(p["v_proj"], h).reshape(B, N, Hkv, hd)
-    q = rope(q, positions, cfg.rope_theta)
-    k = rope(k, positions, cfg.rope_theta)
+    q = rope(q, positions, cfg.rope_theta, cfg.rope_scaling,
+             cfg.rope_scaling_factor)
+    k = rope(k, positions, cfg.rope_theta, cfg.rope_scaling,
+             cfg.rope_scaling_factor)
 
     new_cache = None
     if layer_cache is not None:
@@ -323,8 +336,10 @@ def slot_prefill(params, input_ids: jnp.ndarray, n_tokens: jnp.ndarray,
         q = L.linear(lp["q_proj"], hh).reshape(B1, N, cfg.heads, hd)
         kk = L.linear(lp["k_proj"], hh).reshape(B1, N, cfg.kv_heads, hd)
         vv = L.linear(lp["v_proj"], hh).reshape(B1, N, cfg.kv_heads, hd)
-        q = rope(q, positions, cfg.rope_theta)
-        kk = rope(kk, positions, cfg.rope_theta)
+        q = rope(q, positions, cfg.rope_theta, cfg.rope_scaling,
+             cfg.rope_scaling_factor)
+        kk = rope(kk, positions, cfg.rope_theta, cfg.rope_scaling,
+                  cfg.rope_scaling_factor)
         o = mha(q, kk, vv, mask=mask).reshape(B1, N, cfg.dim)
         h = h + L.linear(lp["o_proj"], o)
         hn = L.rms_norm(lp["post_attention_layernorm"], h, cfg.rms_eps)
@@ -373,8 +388,10 @@ def slot_decode(params, input_ids: jnp.ndarray, active: jnp.ndarray,
         q = L.linear(lp["q_proj"], hh).reshape(B, 1, cfg.heads, hd)
         kk = L.linear(lp["k_proj"], hh).reshape(B, 1, cfg.kv_heads, hd)
         vv = L.linear(lp["v_proj"], hh).reshape(B, 1, cfg.kv_heads, hd)
-        q = rope(q, positions, cfg.rope_theta)
-        kk = rope(kk, positions, cfg.rope_theta)
+        q = rope(q, positions, cfg.rope_theta, cfg.rope_scaling,
+             cfg.rope_scaling_factor)
+        kk = rope(kk, positions, cfg.rope_theta, cfg.rope_scaling,
+                  cfg.rope_scaling_factor)
         # scatter each row's k/v at its own write position; inactive rows
         # write to the dead slot S-1... no: redirect inactive writes to a
         # position they already mask out is unsafe if another row uses it,

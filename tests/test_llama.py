@@ -196,3 +196,26 @@ class TestMultimodalSplit:
         assert ids[b + 1] == IMAGE_ID_SHIFT + 0
         assert ids[b + 32] == IMAGE_ID_SHIFT + 31
         assert ids[b + 33] == EOI_TOKEN_ID
+
+
+class TestRopeScaling:
+    def test_linear_scaling_interpolates_positions(self):
+        x = jnp.asarray(np.random.RandomState(0).randn(1, 4, 2, 8), jnp.float32)
+        a = M.rope(x, jnp.arange(4) * 2, scaling=None)
+        b = M.rope(x, jnp.arange(4) * 4, scaling="linear", factor=2.0)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-5)
+
+    def test_ntk_changes_frequencies(self):
+        x = jnp.asarray(np.random.RandomState(0).randn(1, 4, 2, 8), jnp.float32)
+        a = M.rope(x, jnp.arange(4), scaling=None)
+        b = M.rope(x, jnp.arange(4), scaling="ntk", factor=4.0)
+        assert np.abs(np.asarray(a) - np.asarray(b)).max() > 1e-4
+
+    def test_config_threads_through_forward(self):
+        import dataclasses
+        cfg = dataclasses.replace(CFG, rope_scaling="linear",
+                                  rope_scaling_factor=2.0)
+        params = M.init_llama(jax.random.PRNGKey(0), cfg, dtype=jnp.float32)
+        out = M.forward(params, jnp.asarray([[1, 2, 3]], jnp.int32), cfg)
+        assert np.isfinite(np.asarray(out[..., :cfg.vocab_size])).all()
