@@ -257,6 +257,49 @@ def lm_head_apply(head, word_embeddings, hidden, cfg: QFormerConfig):
     return logits + head["bias"].astype(logits.dtype)
 
 
+def qformer_generate_caption(
+    params,
+    lm_head,
+    image_embeds: jnp.ndarray,
+    cfg: QFormerConfig,
+    bos_id: int,
+    eos_id: int,
+    max_len: int = 24,
+) -> jnp.ndarray:
+    """Greedy caption generation through the decoder-mode Q-Former
+    (BertLMHeadModel.generate equivalent, qformer_causual.py:933-1062).
+
+    Fully in-graph (lax.scan over positions with a growing visible prefix
+    via masking) — recomputes the joint forward per step, which at 32
+    queries + <=max_len text is cheaper than maintaining a BERT KV cache.
+    Returns int32 [B, max_len] (eos-padded).
+    """
+    B = image_embeds.shape[0]
+
+    def step(tokens, i):
+        # tokens [B, max_len]; positions > i are padding (masked)
+        pad = (jax.lax.broadcasted_iota(jnp.int32, (B, max_len), 1)
+               <= i).astype(jnp.int32)
+        hidden = qformer_caption_apply(params, image_embeds, tokens, cfg,
+                                       text_pad=pad)
+        logits = lm_head_apply(lm_head, params["embeddings"]
+                               ["word_embeddings"], hidden, cfg)
+        nxt = jnp.argmax(logits[:, i], axis=-1).astype(jnp.int32)
+        # once eos was produced, keep emitting eos
+        prev = tokens[:, i]
+        done = prev == eos_id
+        nxt = jnp.where(done, eos_id, nxt)
+        tokens = jax.lax.dynamic_update_index_in_dim(
+            tokens, nxt, i + 1, 1)
+        return tokens, None
+
+    tokens = jnp.full((B, max_len), eos_id, jnp.int32)
+    tokens = tokens.at[:, 0].set(bos_id)
+    tokens, _ = jax.lax.scan(step, tokens,
+                             jnp.arange(max_len - 1, dtype=jnp.int32))
+    return tokens
+
+
 def qformer_text_apply(
     params,
     text_ids: jnp.ndarray,                  # [B, T]

@@ -189,3 +189,30 @@ class TestStage1Extras:
         assert not m[0, 3]                     # query -/-> text
         assert m[4, 0] and m[4, 3] and m[4, 4]  # text -> queries + self
         assert not m[4, 5]                     # text causal
+
+
+class TestCaptionGeneration:
+    def test_greedy_caption_generation(self):
+        import jax
+        import jax.numpy as jnp
+        from seed_tpu.models.qformer import (init_lm_head,
+                                             qformer_generate_caption)
+        cfg = TOK_CFG_TEXT.qformer
+        p = tok_params()["qformer"]
+        head = init_lm_head(jax.random.PRNGKey(6), cfg)
+        img = jax.random.normal(jax.random.PRNGKey(1),
+                                (2, 5, cfg.encoder_width))
+        out = np.asarray(qformer_generate_caption(
+            p, head, img, cfg, bos_id=1, eos_id=2, max_len=8))
+        assert out.shape == (2, 8)
+        assert (out[:, 0] == 1).all()
+        assert out.dtype == np.int32
+        # deterministic
+        out2 = np.asarray(qformer_generate_caption(
+            p, head, img, cfg, bos_id=1, eos_id=2, max_len=8))
+        np.testing.assert_array_equal(out, out2)
+        # conditioned on the image: different image -> different caption
+        img2 = img * 3.0 + 1.0
+        out3 = np.asarray(qformer_generate_caption(
+            p, head, img2, cfg, bos_id=1, eos_id=2, max_len=8))
+        assert not (out == out3).all()
