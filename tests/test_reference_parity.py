@@ -1,0 +1,207 @@
+"""Parity vs the ACTUAL reference implementation (not hand-written oracles).
+
+The BASELINE.json acceptance bar is bit-exact SEED-2 token IDs vs PyTorch.
+These tests run the real reference code (/root/reference/models/seed_qformer,
+imported via tests/reference_shims.py) and seed_tpu side by side with
+IDENTICAL weights (shared through the production converter
+``convert_quantizer``) on a scaled-down architecture that preserves every
+structural trigger of the full model — crucially query_len == 32, which is
+what flips the reference into its causal-query branch
+(qformer_causual.py:814-816).
+
+Covered reference call paths:
+- Blip2QformerQuantizer.get_codebook_indices (qformer_quantizer.py:288-307):
+  EVA-ViT -> ln_vision -> causal Q-Former -> encode_task_layer -> VQ argmin.
+  Asserted BIT-IDENTICAL indices.
+- Blip2QformerQuantizer.get_codebook_entry (:309-338, use_qformer_image=False
+  inference default): codebook -> decode_task_layer -> pos_embed_image ->
+  blocks_image -> image_down -> distill_image_proj. Asserted allclose.
+"""
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+from reference_shims import load_reference_seed_qformer
+
+import jax
+import jax.numpy as jnp
+
+from seed_tpu.convert.torch_convert import convert_quantizer
+from seed_tpu.models.qformer import QFormerConfig
+from seed_tpu.models.seed_tokenizer import (SeedTokenizerConfig, decode_embedding,
+                                            encode, encode_features)
+from seed_tpu.models.vit import ViTConfig
+
+REF = load_reference_seed_qformer()
+
+# scaled-down SEED-2: query_len MUST be 32 (the reference's causal trigger);
+# everything else shrunk for CPU speed. mlp_ratio 2.0 -> mlp_dim = 2 * dim.
+VIT_DIM, VIT_DEPTH, VIT_HEADS = 32, 3, 2
+QF_HID, QF_LAYERS, QF_HEADS, QF_INTER = 32, 3, 2, 64
+CODE_DIM, N_CODES, Q = 8, 64, 32
+IMG_EMBED = 16
+
+TPU_CFG = SeedTokenizerConfig(
+    vit=ViTConfig(image_size=28, patch_size=14, dim=VIT_DIM, depth=VIT_DEPTH,
+                  heads=VIT_HEADS, mlp_dim=2 * VIT_DIM),
+    qformer=QFormerConfig(hidden=QF_HID, layers=QF_LAYERS, heads=QF_HEADS,
+                          intermediate=QF_INTER, encoder_width=VIT_DIM,
+                          query_len=Q),
+    codebook_size=N_CODES, code_dim=CODE_DIM, decode_depth=2, decode_heads=2,
+    image_embed_dim=IMG_EMBED)
+
+
+def _build_reference_quantizer() -> torch.nn.Module:
+    """The live pieces of Blip2QformerQuantizer (qformer_quantizer.py:143-286)
+    with checkpoint-identical attribute names, built directly (the real
+    __init__ downloads eva/bert weights; offline here)."""
+    from functools import partial
+
+    import torch.nn as nn
+
+    qc, qq, rvit = REF.qformer_causual, REF.qformer_quantizer, REF.vit
+
+    visual_encoder = REF.eva_vit.VisionTransformer(
+        img_size=28, patch_size=14, embed_dim=VIT_DIM, depth=VIT_DEPTH,
+        num_heads=VIT_HEADS, mlp_ratio=2.0, qkv_bias=True,
+        use_mean_pooling=False, norm_layer=partial(nn.LayerNorm, eps=1e-6))
+
+    cfg = qc.BertConfig(
+        vocab_size=64, hidden_size=QF_HID, num_hidden_layers=QF_LAYERS,
+        num_attention_heads=QF_HEADS, intermediate_size=QF_INTER,
+        hidden_act="gelu", hidden_dropout_prob=0.0,
+        attention_probs_dropout_prob=0.0, layer_norm_eps=1e-12)
+    cfg.encoder_width = VIT_DIM
+    cfg.add_cross_attention = True
+    cfg.cross_attention_freq = 2
+    cfg.query_length = Q
+    qformer = qc.BertLMHeadModel(config=cfg)
+    # strip exactly what the quantizer strips (qformer_quantizer.py:206-211)
+    qformer.cls = None
+    qformer.bert.embeddings.word_embeddings = None
+    qformer.bert.embeddings.position_embeddings = None
+    for layer in qformer.bert.encoder.layer:
+        layer.output = None
+        layer.intermediate = None
+
+    class RefQuantizer(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.visual_encoder = visual_encoder
+            self.ln_vision = nn.LayerNorm(VIT_DIM)
+            self.Qformer = qformer
+            self.query_tokens = nn.Parameter(torch.zeros(1, Q, QF_HID))
+            self.quantize = qq.VectorQuantizer2(N_CODES, CODE_DIM, beta=0.25,
+                                                remap=None,
+                                                sane_index_shape=False)
+            self.encode_task_layer = nn.Sequential(
+                nn.Linear(QF_HID, QF_HID), nn.Tanh(),
+                nn.Linear(QF_HID, CODE_DIM))
+            self.decode_task_layer = nn.Sequential(
+                nn.Linear(CODE_DIM, CODE_DIM), nn.Tanh(),
+                nn.Linear(CODE_DIM, QF_HID))
+            self.pos_embed_image = nn.Parameter(torch.zeros(1, Q, QF_HID))
+            self.blocks_image = nn.ModuleList([
+                rvit.Block(dim=QF_HID, num_heads=2, mlp_ratio=4.0,
+                           qkv_bias=True, qk_scale=None, drop=0.0,
+                           attn_drop=0.0, drop_path=0.0,
+                           norm_layer=partial(nn.LayerNorm, eps=1e-6))
+                for _ in range(2)])
+            self.image_down = nn.Sequential(
+                nn.Linear(QF_HID, 256, bias=False), nn.ReLU(),
+                nn.Linear(256, 128, bias=False), nn.ReLU(),
+                nn.Linear(128, 32, bias=False))
+            self.distill_image_proj = nn.Linear(Q * 32, IMG_EMBED)
+
+        # verbatim pipeline of get_codebook_indices (:288-307)
+        @torch.no_grad()
+        def get_codebook_indices(self, image):
+            image_embeds = self.ln_vision(self.visual_encoder(image))
+            image_atts = torch.ones(image_embeds.size()[:-1], dtype=torch.long)
+            query_tokens = self.query_tokens.expand(image_embeds.shape[0], -1, -1)
+            query_output = self.Qformer.bert(
+                query_embeds=query_tokens,
+                encoder_hidden_states=image_embeds,
+                encoder_attention_mask=image_atts,
+                return_dict=True)
+            query_output_down = self.encode_task_layer(
+                query_output.last_hidden_state)
+            quant, _, embed_ind = self.quantize(query_output_down)
+            embed_ind = embed_ind.reshape(quant.shape[0], -1)
+            return embed_ind, query_output_down
+
+        # verbatim pipeline of get_codebook_entry (:309-338, image_down path)
+        @torch.no_grad()
+        def get_codebook_entry(self, indices):
+            quant = self.quantize.get_codebook_entry(indices.reshape(-1))
+            quant = quant.view(indices.shape[0], Q, CODE_DIM)
+            up = self.decode_task_layer(quant)
+            up = up + self.pos_embed_image.repeat(up.shape[0], 1, 1)
+            for blk in self.blocks_image:
+                up = blk(up)
+            down = self.image_down(up)
+            down = down.reshape(down.shape[0], -1)
+            return self.distill_image_proj(down)
+
+    model = RefQuantizer().eval().float()
+    # random but well-scaled weights (seeded): matmul weights small, norms ~1
+    gen = torch.Generator().manual_seed(0)
+    for name, p in model.named_parameters():
+        if "LayerNorm" in name or "norm" in name or "ln_vision" in name:
+            if name.endswith("weight"):
+                p.data = 1.0 + 0.05 * torch.randn(p.shape, generator=gen)
+            else:
+                p.data = 0.05 * torch.randn(p.shape, generator=gen)
+        else:
+            p.data = 0.08 * torch.randn(p.shape, generator=gen)
+    return model
+
+
+@pytest.fixture(scope="module")
+def pair():
+    ref = _build_reference_quantizer()
+    sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+    params = jax.tree.map(jnp.asarray, convert_quantizer(sd))
+    return ref, params
+
+
+@pytest.fixture(scope="module")
+def images():
+    rng = np.random.RandomState(7)
+    return rng.randn(4, 28, 28, 3).astype(np.float32)
+
+
+class TestReferenceParity:
+    def test_bit_exact_codebook_indices(self, pair, images):
+        """THE acceptance bar: identical discrete token IDs."""
+        ref, params = pair
+        want, _ = ref.get_codebook_indices(
+            torch.from_numpy(images).permute(0, 3, 1, 2))
+        got = encode(params, jnp.asarray(images), TPU_CFG)
+        np.testing.assert_array_equal(np.asarray(got), want.numpy())
+
+    def test_pre_vq_features_close(self, pair, images):
+        """The continuous features feeding the argmin must agree tightly —
+        this is what makes the bit-exactness robust, not luck."""
+        ref, params = pair
+        _, want = ref.get_codebook_indices(
+            torch.from_numpy(images).permute(0, 3, 1, 2))
+        got = encode_features(params, jnp.asarray(images), TPU_CFG)
+        np.testing.assert_allclose(np.asarray(got), want.numpy(),
+                                   rtol=1e-4, atol=1e-5)
+
+    def test_decode_embedding_matches(self, pair, images):
+        ref, params = pair
+        ids_t, _ = ref.get_codebook_indices(
+            torch.from_numpy(images).permute(0, 3, 1, 2))
+        want = ref.get_codebook_entry(ids_t)
+        got = decode_embedding(params, jnp.asarray(ids_t.numpy()), TPU_CFG)
+        np.testing.assert_allclose(np.asarray(got), want.numpy(),
+                                   rtol=1e-4, atol=1e-5)
+
+    def test_batch_of_distinct_images_disagrees(self, pair, images):
+        """Sanity: the parity isn't trivially constant output."""
+        ref, params = pair
+        got = np.asarray(encode(params, jnp.asarray(images), TPU_CFG))
+        assert len({tuple(r) for r in got}) == len(got)
