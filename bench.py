@@ -56,27 +56,44 @@ def bench_decode_8b():
                 return jnp.asarray(np.full(s.shape, 0.01, np.float32), s.dtype)
 
             params = jax.tree.map(fill, shapes)
+        B, prompt_len, steps, S = 32, 32, 64, 192
+        # serving path: M.decode_loop scans `steps` decode+sample iterations
+        # inside ONE compiled program (matches LlamaEngine.generate) — the
+        # per-token host round trip was the round-1 bottleneck (~86 ms/step
+        # vs the ~8.5 ms/step HBM roofline).
+        #
+        # Cache length 192: XLA re-lays-out the fused kv cache once at loop
+        # entry (it prefers [L,S,H,B,2D] physical order at decode shapes),
+        # costing one transient cache-sized copy; S=192 keeps
+        # weights + 2x cache + relaid int8 kernels inside 15.75G HBM. The
+        # AUTO-layout route that removes the copy entirely compiles 0.25G
+        # of temp but currently fails to EXECUTE through the axon tunnel
+        # (see PERF.md); revisit when the runtime accepts custom layouts.
         params = jax.device_put(params, jax.devices()[0])
-        B, prompt_len, steps = 32, 32, 64
-        cache = M.init_cache(cfg, B, 512)
-        prefill = jax.jit(functools.partial(M.prefill, cfg=cfg),
-                          donate_argnums=(2,))
-        decode = jax.jit(functools.partial(M.decode_step, cfg=cfg),
-                         donate_argnums=(2,))
-        ids = jnp.ones((B, prompt_len), jnp.int32)
-        logits, cache = prefill(params, ids, cache)
-        tok = jnp.argmax(logits[:, -1:], -1).astype(jnp.int32)
-        logits, cache = decode(params, tok, cache)   # compile decode
-        np.asarray(logits[:, 0, 0])                  # sync
+        loop = jax.jit(functools.partial(
+            M.decode_loop, cfg=cfg, steps=steps, temperature=1.0, top_p=0.5,
+            eos_id=-1), donate_argnums=(2,))
+        cache = M.init_cache(cfg, B, S)
+        # decode throughput does not depend on cache VALUES: mark the
+        # prompt region valid directly instead of paying a prefill compile
+        cache = cache._replace(
+            valid=cache.valid.at[:, :prompt_len].set(True),
+            index=jnp.asarray(prompt_len, jnp.int32))
+        tok = jnp.ones((B,), jnp.int32)
+        key = jax.random.PRNGKey(0)
+        toks, _, cache, key = loop(params, tok, cache, key)  # compile+warmup
+        np.asarray(toks[:, -1])                              # sync
+        tok = toks[:, -1]
         t0 = time.perf_counter()
-        for _ in range(steps):
-            logits, cache = decode(params, tok, cache)
-        np.asarray(logits[:, 0, 0])                  # sync point
+        toks, _, cache, key = loop(params, tok, cache, key)
+        np.asarray(toks[:, -1])                              # sync point
         dt = time.perf_counter() - t0
         return B * steps / dt
     except Exception as e:  # OOM / compile limits: report encode only
+        import traceback
         print(f"# decode bench skipped: {type(e).__name__}: {e}",
               flush=True)
+        traceback.print_exc()
         return None
 
 

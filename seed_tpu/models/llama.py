@@ -9,10 +9,11 @@ vocabulary extended with 8192 image codes + BOI/EOI
 (train.py:128 resize_token_embeddings).
 
 TPU-first design (NOT a translation):
-- The KV cache is a *preallocated ring buffer* [L, B, S_max, H_kv, D]
-  updated with dynamic_update_slice — the reference reallocates with
-  torch.cat every step (llama_xformer.py:235-240), an O(T) copy that XLA's
-  static shapes both forbid and obviate.
+- The KV cache is a *preallocated ring buffer* [L, B, S_max, H_kv, 2*D]
+  (k and v fused — see KVCache) updated with dynamic_update_slice — the
+  reference reallocates with torch.cat every step
+  (llama_xformer.py:235-240), an O(T) copy that XLA's static shapes both
+  forbid and obviate.
 - Layers are stacked and applied with lax.scan (one compiled block, 32-40x
   smaller HLO); the cache scans along its leading layer axis in the same
   pass.
@@ -71,17 +72,33 @@ TINY_LLAMA = LlamaConfig(vocab_size=270, dim=64, layers=2, heads=4,
 
 
 class KVCache(NamedTuple):
-    k: jnp.ndarray        # [L, B, S_max, H_kv, D]
-    v: jnp.ndarray
+    """Preallocated ring KV cache, k and v FUSED into one buffer
+    (k = kv[..., :D], v = kv[..., D:]).
+
+    Why fused: XLA's while-loop buffer aliasing keeps ONE donated carry
+    array in place, but with k and v as two separate large carry buffers it
+    conservatively double-buffers them — measured +1x cache HBM inside
+    ``decode_loop`` (nested scan) at every probe shape, and 0 bytes with
+    the fused layout. Fusing also halves the number of HBM streams the
+    decode attention touches."""
+    kv: jnp.ndarray       # [L, B, S_max, H_kv, 2*D]
     valid: jnp.ndarray    # [B, S_max] bool — slots holding real tokens
     index: jnp.ndarray    # scalar int32: write cursor (tokens written so far)
+
+    @property
+    def k(self) -> jnp.ndarray:   # convenience views (tests/debug)
+        return self.kv[..., : self.kv.shape[-1] // 2]
+
+    @property
+    def v(self) -> jnp.ndarray:
+        return self.kv[..., self.kv.shape[-1] // 2:]
 
 
 def init_cache(cfg: LlamaConfig, batch: int, max_len: Optional[int] = None,
                dtype=jnp.bfloat16) -> KVCache:
     S = max_len or cfg.max_seq_len
-    shape = (cfg.layers, batch, S, cfg.kv_heads, cfg.head_dim)
-    return KVCache(jnp.zeros(shape, dtype), jnp.zeros(shape, dtype),
+    shape = (cfg.layers, batch, S, cfg.kv_heads, 2 * cfg.head_dim)
+    return KVCache(jnp.zeros(shape, dtype),
                    jnp.zeros((batch, S), jnp.bool_),
                    jnp.zeros((), jnp.int32))
 
@@ -164,11 +181,12 @@ def _layer_apply(p, x, positions, mask, cfg: LlamaConfig,
 
     new_cache = None
     if layer_cache is not None:
-        ck, cv = layer_cache
-        ck = jax.lax.dynamic_update_slice(ck, k.astype(ck.dtype), (0, cache_index, 0, 0))
-        cv = jax.lax.dynamic_update_slice(cv, v.astype(cv.dtype), (0, cache_index, 0, 0))
-        k, v = ck.astype(q.dtype), cv.astype(q.dtype)
-        new_cache = (ck, cv)
+        ckv = layer_cache                       # [B, S, H_kv, 2D] fused
+        kv_new = jnp.concatenate([k, v], axis=-1).astype(ckv.dtype)
+        ckv = jax.lax.dynamic_update_slice(ckv, kv_new, (0, cache_index, 0, 0))
+        k = ckv[..., :hd].astype(q.dtype)
+        v = ckv[..., hd:].astype(q.dtype)
+        new_cache = ckv
 
     if use_flash and layer_cache is None:
         # training path: Pallas flash attention (O(S) memory). Right-padded
@@ -247,7 +265,7 @@ def prefill(params, input_ids: jnp.ndarray, cache: KVCache,
     N=1 special case, so continuous batching reuses one compiled program.
     """
     B, N = input_ids.shape
-    S = cache.k.shape[2]
+    S = cache.kv.shape[2]
     if chunk_mask is None:
         chunk_mask = jnp.ones((B, N), jnp.int32)
     chunk_mask = chunk_mask.astype(jnp.int32)
@@ -262,26 +280,25 @@ def prefill(params, input_ids: jnp.ndarray, cache: KVCache,
     causal = sliced_causal_mask(N, S, cache.index)                   # [1,1,N,S]
     mask = causal & new_valid[:, None, None, :]
 
-    # The cache rides the scan CARRY (not xs/ys): with donated inputs XLA
-    # keeps ONE cache buffer alive and updates slices in place — passing
-    # k/v as scanned xs with stacked ys doubled cache HBM (observed OOM at
-    # batch 32 on one v5e).
-    L_ = cache.k.shape[0]
+    # The FUSED kv cache rides the scan CARRY (not xs/ys): with donated
+    # inputs XLA keeps ONE cache buffer alive and updates slices in place.
+    # Two separate k/v carry buffers (or xs/ys stacking) each cost an extra
+    # full cache copy in HBM — see KVCache docstring / PERF.md.
+    L_ = cache.kv.shape[0]
 
     def step(carry, inputs):
-        h, ck_all, cv_all = carry
+        h, kv_all = carry
         lp, i = inputs
-        h, (ck, cv) = _layer_apply(lp, h, positions, mask, cfg,
-                                   layer_cache=(ck_all[i], cv_all[i]),
-                                   cache_index=cache.index)
-        ck_all = jax.lax.dynamic_update_index_in_dim(ck_all, ck, i, 0)
-        cv_all = jax.lax.dynamic_update_index_in_dim(cv_all, cv, i, 0)
-        return (h, ck_all, cv_all), None
+        h, ckv = _layer_apply(lp, h, positions, mask, cfg,
+                              layer_cache=kv_all[i],
+                              cache_index=cache.index)
+        kv_all = jax.lax.dynamic_update_index_in_dim(kv_all, ckv, i, 0)
+        return (h, kv_all), None
 
-    (x, k_new, v_new), _ = jax.lax.scan(
-        step, (x, cache.k, cache.v),
+    (x, kv_new), _ = jax.lax.scan(
+        step, (x, cache.kv),
         (params["layers"], jnp.arange(L_, dtype=jnp.int32)))
-    new_cache = KVCache(k_new, v_new, new_valid, cache.index + N)
+    new_cache = KVCache(kv_new, new_valid, cache.index + N)
     return _logits(params, x, cfg), new_cache
 
 
@@ -291,25 +308,81 @@ def decode_step(params, input_ids: jnp.ndarray, cache: KVCache,
     return prefill(params, input_ids, cache, cfg)
 
 
+def decode_loop(params, tok: jnp.ndarray, cache: KVCache, key: jax.Array,
+                cfg: LlamaConfig, *, steps: int, temperature: float = 1.0,
+                top_p: float = 1.0, top_k: int = 0, do_sample: bool = True,
+                eos_id: int = 2
+                ) -> Tuple[jnp.ndarray, jnp.ndarray, KVCache, jax.Array]:
+    """``steps`` decode+sample iterations in ONE compiled program.
+
+    The reference's HF generate loop (llama_xformer.py:745 +
+    seed_llama_inference_8B.py:28-37) round-trips to the host every token;
+    here sampling lives in-graph and a lax.scan runs ``steps`` tokens per
+    dispatch — on the axon tunnel (or any remote runtime) this amortizes
+    the per-dispatch latency ``steps``-fold.
+
+    ``tok`` [B] is the previously sampled token (not yet decoded). Rows
+    that hit ``eos_id`` keep decoding in lockstep but their subsequent
+    outputs are pinned to ``eos_id`` so the host can strip determinately.
+
+    Returns (tokens [B, steps], done [B] bool, cache, key).
+    """
+    from ..ops.sampling import sample
+
+    def body(carry, _):
+        tok, cache, key, done = carry
+        logits, cache = prefill(params, tok[:, None], cache, cfg)
+        key, sub = jax.random.split(key)
+        nxt = sample(sub, logits[:, 0], temperature, top_p, top_k, do_sample)
+        nxt = jnp.where(done, jnp.int32(eos_id), nxt)
+        done = done | (nxt == eos_id)
+        return (nxt, cache, key, done), nxt
+
+    done0 = tok == eos_id
+    (tok, cache, key, done), toks = jax.lax.scan(
+        body, (tok, cache, key, done0), None, length=steps)
+    return toks.T, done, cache, key
+
+
+def slot_decode_sample(params, input_ids: jnp.ndarray, active: jnp.ndarray,
+                       temperature: jnp.ndarray, top_p: jnp.ndarray,
+                       greedy: jnp.ndarray, cache: SlotCache, key: jax.Array,
+                       cfg: LlamaConfig, top_k: int = 0
+                       ) -> Tuple[jnp.ndarray, "SlotCache"]:
+    """Fused decode + per-slot sampling: one dispatch, one [B] token
+    transfer per step (the round-1 batcher sampled per active slot —
+    O(slots) host syncs per step). ids [B, 1] -> next tokens [B]."""
+    from ..ops.sampling import sample_batched
+    logits, cache = slot_decode(params, input_ids, active, cache, cfg)
+    tok = sample_batched(key, logits, temperature, top_p, greedy, top_k)
+    return tok, cache
+
+
 # --------------------- per-slot cache (continuous batching) -----------------
 
 class SlotCache(NamedTuple):
     """KV cache with per-slot write positions: each batch row is an
     independent request slot that can be filled/evicted at any time —
     the substrate for continuous batching (left-aligned occupancy per
-    slot; no global cursor)."""
-    k: jnp.ndarray          # [L, B, S, H_kv, D]
-    v: jnp.ndarray
+    slot; no global cursor). k/v fused like KVCache."""
+    kv: jnp.ndarray         # [L, B, S, H_kv, 2*D]
     length: jnp.ndarray     # [B] int32 — tokens held per slot
+
+    @property
+    def k(self) -> jnp.ndarray:
+        return self.kv[..., : self.kv.shape[-1] // 2]
+
+    @property
+    def v(self) -> jnp.ndarray:
+        return self.kv[..., self.kv.shape[-1] // 2:]
 
 
 def init_slot_cache(cfg: LlamaConfig, slots: int,
                     max_len: Optional[int] = None,
                     dtype=jnp.bfloat16) -> SlotCache:
     S = max_len or cfg.max_seq_len
-    shape = (cfg.layers, slots, S, cfg.kv_heads, cfg.head_dim)
-    return SlotCache(jnp.zeros(shape, dtype), jnp.zeros(shape, dtype),
-                     jnp.zeros((slots,), jnp.int32))
+    shape = (cfg.layers, slots, S, cfg.kv_heads, 2 * cfg.head_dim)
+    return SlotCache(jnp.zeros(shape, dtype), jnp.zeros((slots,), jnp.int32))
 
 
 def slot_prefill(params, input_ids: jnp.ndarray, n_tokens: jnp.ndarray,
@@ -320,7 +393,7 @@ def slot_prefill(params, input_ids: jnp.ndarray, n_tokens: jnp.ndarray,
     next-token logits [1, V] and the updated cache. ``slot``/``n_tokens``
     are traced scalars: one compiled program serves every slot."""
     N = input_ids.shape[1]
-    S = cache.k.shape[2]
+    S = cache.kv.shape[2]
     x = L.embed(params["embed_tokens"], input_ids)
     positions = jnp.arange(N, dtype=jnp.int32)[None, :]
     col = jax.lax.broadcasted_iota(jnp.int32, (N, N), 1)
@@ -328,7 +401,7 @@ def slot_prefill(params, input_ids: jnp.ndarray, n_tokens: jnp.ndarray,
     mask = ((col <= row) & (col < n_tokens))[None, None]
 
     def step(carry, inputs):
-        h, ck_all, cv_all = carry
+        h, kv_all = carry
         lp, i = inputs
         B1, _, _ = h.shape
         hd = cfg.head_dim
@@ -345,25 +418,24 @@ def slot_prefill(params, input_ids: jnp.ndarray, n_tokens: jnp.ndarray,
         hn = L.rms_norm(lp["post_attention_layernorm"], h, cfg.rms_eps)
         gate = jax.nn.silu(L.linear(lp["gate_proj"], hn))
         h = h + L.linear(lp["down_proj"], gate * L.linear(lp["up_proj"], hn))
-        # write this layer's k/v into the slot at positions [0, N)
-        pad = jnp.zeros((1, S - N, cfg.kv_heads, hd), ck_all.dtype)
-        k_row = jnp.concatenate([kk.astype(ck_all.dtype), pad], axis=1)
-        v_row = jnp.concatenate([vv.astype(cv_all.dtype), pad], axis=1)
-        ck_all = jax.lax.dynamic_update_slice(ck_all, k_row[None],
+        # write this layer's fused k|v into the slot at positions [0, N)
+        pad = jnp.zeros((1, S - N, cfg.kv_heads, 2 * hd), kv_all.dtype)
+        kv_row = jnp.concatenate(
+            [jnp.concatenate([kk, vv], axis=-1).astype(kv_all.dtype), pad],
+            axis=1)
+        kv_all = jax.lax.dynamic_update_slice(kv_all, kv_row[None],
                                               (i, slot, 0, 0, 0))
-        cv_all = jax.lax.dynamic_update_slice(cv_all, v_row[None],
-                                              (i, slot, 0, 0, 0))
-        return (h, ck_all, cv_all), None
+        return (h, kv_all), None
 
-    L_ = cache.k.shape[0]
-    (x, k_new, v_new), _ = jax.lax.scan(
-        step, (x, cache.k, cache.v),
+    L_ = cache.kv.shape[0]
+    (x, kv_new), _ = jax.lax.scan(
+        step, (x, cache.kv),
         (params["layers"], jnp.arange(L_, dtype=jnp.int32)))
     logits = _logits(params, x, cfg)
     last = jnp.take_along_axis(logits, (n_tokens - 1)[None, None, None],
                                axis=1)[:, 0]
     new_len = cache.length.at[slot].set(n_tokens)
-    return last, SlotCache(k_new, v_new, new_len)
+    return last, SlotCache(kv_new, new_len)
 
 
 def slot_decode(params, input_ids: jnp.ndarray, active: jnp.ndarray,
@@ -372,7 +444,7 @@ def slot_decode(params, input_ids: jnp.ndarray, active: jnp.ndarray,
     """One decode step for ALL slots; ``active`` [B] bool gates cache
     writes and length increments for occupied slots. ids [B, 1]."""
     B = input_ids.shape[0]
-    S = cache.k.shape[2]
+    S = cache.kv.shape[2]
     x = L.embed(params["embed_tokens"], input_ids)
     positions = cache.length[:, None]
     col = jax.lax.broadcasted_iota(jnp.int32, (1, S), 1)[None, None]
@@ -381,7 +453,7 @@ def slot_decode(params, input_ids: jnp.ndarray, active: jnp.ndarray,
     rows = jnp.arange(B)
 
     def step(carry, inputs):
-        h, ck_all, cv_all = carry
+        h, kv_all = carry
         lp, i = inputs
         hd = cfg.head_dim
         hh = L.rms_norm(lp["input_layernorm"], h, cfg.rms_eps)
@@ -392,34 +464,28 @@ def slot_decode(params, input_ids: jnp.ndarray, active: jnp.ndarray,
              cfg.rope_scaling_factor)
         kk = rope(kk, positions, cfg.rope_theta, cfg.rope_scaling,
                   cfg.rope_scaling_factor)
-        # scatter each row's k/v at its own write position; inactive rows
-        # write to the dead slot S-1... no: redirect inactive writes to a
-        # position they already mask out is unsafe if another row uses it,
-        # but positions are PER-ROW, so writing the inactive row's own
-        # clipped cursor only touches that row. Preserve by rewriting the
-        # old value for inactive rows.
-        ck = ck_all[i]
-        cv = cv_all[i]
+        # scatter each row's fused k|v at its own write position; positions
+        # are PER-ROW, so an inactive row's clipped cursor only touches
+        # that row — preserve it by rewriting the old value.
+        ckv = kv_all[i]
         pos = cache.length.clip(0, S - 1)
-        old_k = ck[rows, pos]
-        old_v = cv[rows, pos]
-        kk_w = jnp.where(active[:, None, None], kk[:, 0].astype(ck.dtype), old_k)
-        vv_w = jnp.where(active[:, None, None], vv[:, 0].astype(cv.dtype), old_v)
-        ck = ck.at[rows, pos].set(kk_w)
-        cv = cv.at[rows, pos].set(vv_w)
-        o = mha(q, ck.astype(q.dtype), cv.astype(q.dtype), mask=mask)
+        old = ckv[rows, pos]
+        kv_cur = jnp.concatenate([kk, vv], axis=-1)[:, 0].astype(ckv.dtype)
+        ckv = ckv.at[rows, pos].set(
+            jnp.where(active[:, None, None], kv_cur, old))
+        o = mha(q, ckv[..., :hd].astype(q.dtype),
+                ckv[..., hd:].astype(q.dtype), mask=mask)
         h = h + L.linear(lp["o_proj"], o.reshape(B, 1, cfg.dim))
         hn = L.rms_norm(lp["post_attention_layernorm"], h, cfg.rms_eps)
         gate = jax.nn.silu(L.linear(lp["gate_proj"], hn))
         h = h + L.linear(lp["down_proj"], gate * L.linear(lp["up_proj"], hn))
-        ck_all = jax.lax.dynamic_update_index_in_dim(ck_all, ck, i, 0)
-        cv_all = jax.lax.dynamic_update_index_in_dim(cv_all, cv, i, 0)
-        return (h, ck_all, cv_all), None
+        kv_all = jax.lax.dynamic_update_index_in_dim(kv_all, ckv, i, 0)
+        return (h, kv_all), None
 
-    L_ = cache.k.shape[0]
-    (x, k_new, v_new), _ = jax.lax.scan(
-        step, (x, cache.k, cache.v),
+    L_ = cache.kv.shape[0]
+    (x, kv_new), _ = jax.lax.scan(
+        step, (x, cache.kv),
         (params["layers"], jnp.arange(L_, dtype=jnp.int32)))
     logits = _logits(params, x, cfg)[:, 0]
     new_len = jnp.where(active, cache.length + 1, cache.length)
-    return logits, SlotCache(k_new, v_new, new_len)
+    return logits, SlotCache(kv_new, new_len)

@@ -91,5 +91,14 @@ def int8_matmul(x: jnp.ndarray, w_q: jnp.ndarray, scale: jnp.ndarray,
 
 
 def can_use_kernel(m: int, k: int, n: int) -> bool:
-    """Tiling feasibility for the adaptive block shapes."""
-    return _pick_block(n, 512) is not None and _pick_block(k, 512) is not None
+    """Dispatch predicate: tiling feasibility AND a shape where the kernel
+    measured faster than the XLA dequant path.
+
+    At decode shapes (M = batch <= 32) the kernel is a measured regression
+    (118 -> 109 tok/s at B8, PERF.md): with tiny M the MXU is idle either
+    way and the kernel's own grid overhead dominates, while XLA fuses the
+    dequant into its matmul. Require a real M tile (>= 256) so only
+    prefill/training-sized matmuls route here."""
+    return (m >= 256
+            and _pick_block(n, 512) is not None
+            and _pick_block(k, 512) is not None)

@@ -44,16 +44,22 @@ def _pad_to(x: np.ndarray, n: int, value: int = 0) -> np.ndarray:
 
 
 class LlamaEngine:
-    """Holds params + compiled prefill/decode programs for one model."""
+    """Holds params + compiled prefill/decode programs for one model.
+
+    Decode runs ``chunk_steps`` tokens per dispatch via ``M.decode_loop``
+    (sampling in-graph, lax.scan over steps): one host round trip and one
+    [B, chunk] token transfer per chunk instead of per token.
+    """
 
     def __init__(self, params, cfg: M.LlamaConfig, max_len: Optional[int] = None,
                  prompt_buckets: Sequence[int] = (32, 64, 128, 256, 512, 1024),
-                 cache_dtype=jnp.bfloat16):
+                 cache_dtype=jnp.bfloat16, chunk_steps: int = 32):
         self.params = params
         self.cfg = cfg
         self.max_len = max_len or cfg.max_seq_len
         self.buckets = sorted(b for b in prompt_buckets if b <= self.max_len)
         self.cache_dtype = cache_dtype
+        self.chunk_steps = chunk_steps
 
         # donate the cache: in-place KV update buffers — without donation
         # XLA keeps input+output cache copies alive (2x cache HBM)
@@ -61,6 +67,7 @@ class LlamaEngine:
             functools.partial(M.prefill, cfg=cfg), donate_argnums=(2,))
         self._decode = jax.jit(
             functools.partial(M.decode_step, cfg=cfg), donate_argnums=(2,))
+        self._loops = {}   # (steps, temp, top_p, top_k, do_sample, eos) -> fn
 
         def sample_fn(key, logits, temperature, top_p, top_k, do_sample):
             return sample(key, logits, temperature, top_p, top_k, do_sample)
@@ -74,6 +81,19 @@ class LlamaEngine:
             if n <= b:
                 return b
         return self.max_len
+
+    def _loop(self, steps: int, gen: GenerationConfig):
+        key = (steps, gen.temperature, gen.top_p, gen.top_k, gen.do_sample,
+               gen.eos_token_id)
+        fn = self._loops.get(key)
+        if fn is None:
+            fn = jax.jit(functools.partial(
+                M.decode_loop, cfg=self.cfg, steps=steps,
+                temperature=gen.temperature, top_p=gen.top_p,
+                top_k=gen.top_k, do_sample=gen.do_sample,
+                eos_id=gen.eos_token_id), donate_argnums=(2,))
+            self._loops[key] = fn
+        return fn
 
     def generate(
         self,
@@ -100,25 +120,41 @@ class LlamaEngine:
         next_logits = logits[:, -1]
 
         key = jax.random.PRNGKey(seed)
-        out_tokens = [[] for _ in range(B)]
-        finished = np.zeros(B, bool)
-        for step in range(gen.max_new_tokens):
-            key, sub = jax.random.split(key)
-            if step == 0 and gen.forced_first_token is not None:
-                tok = jnp.full((B,), gen.forced_first_token, jnp.int32)
-            else:
-                tok = self._sample(sub, next_logits, gen.temperature,
-                                   gen.top_p, gen.top_k, gen.do_sample)
-            tok_np = np.asarray(tok)
+        key, sub = jax.random.split(key)
+        # first token: host-side (forced_first_token / force_boi lives here)
+        if gen.forced_first_token is not None:
+            tok = jnp.full((B,), gen.forced_first_token, jnp.int32)
+        else:
+            tok = self._sample(sub, next_logits, gen.temperature,
+                               gen.top_p, gen.top_k, gen.do_sample)
+        tok_np = np.asarray(tok)
+        out_tokens: List[List[int]] = [[int(t)] for t in tok_np]
+        finished = tok_np == gen.eos_token_id
+
+        # remaining tokens: chunks of `chunk_steps` per dispatch, sampling
+        # + eos masking in-graph; the host only unpacks [B, chunk] blocks
+        budget = gen.max_new_tokens - 1
+        index = bucket   # host-tracked write cursor (avoids device syncs)
+        while budget > 0 and not finished.all():
+            steps = min(self.chunk_steps, budget)
+            if index + steps >= self.max_len:
+                break   # cache full
+            loop = self._loop(steps, gen)
+            toks, done, cache, key = loop(self.params, tok, cache, key)
+            toks_np = np.asarray(toks)                      # [B, steps]
             for i in range(B):
-                if not finished[i]:
-                    out_tokens[i].append(int(tok_np[i]))
-                    if tok_np[i] == gen.eos_token_id:
-                        finished[i] = True
-            if finished.all():
-                break
-            logits, cache = self._decode(self.params, tok[:, None], cache)
-            next_logits = logits[:, 0]
+                if finished[i]:
+                    continue
+                row = toks_np[i]
+                hits = np.nonzero(row == gen.eos_token_id)[0]
+                end = int(hits[0]) + 1 if hits.size else steps
+                out_tokens[i].extend(int(t) for t in row[:end])
+                if hits.size:
+                    finished[i] = True
+            tok = toks[:, -1]
+            finished |= np.asarray(done)
+            budget -= steps
+            index += steps
         # strip trailing eos
         for i in range(B):
             if out_tokens[i] and out_tokens[i][-1] == gen.eos_token_id:

@@ -52,6 +52,12 @@ class ContinuousBatcher:
                                 donate_argnums=(4,))
         self._decode = jax.jit(functools.partial(M.slot_decode, cfg=cfg),
                                donate_argnums=(3,))
+        # fused decode + per-slot sampling: one dispatch and ONE [slots]
+        # token transfer per step (round 1 synced per active slot). top_k
+        # is a static shape -> one compiled program per distinct top_k.
+        self._decode_sample = jax.jit(
+            functools.partial(M.slot_decode_sample, cfg=cfg),
+            donate_argnums=(6,), static_argnames=("top_k",))
         self._sample = jax.jit(
             lambda key, logits, t, p, k, s: sample(key, logits, t, p, k, s),
             static_argnums=(2, 3, 4, 5))
@@ -139,15 +145,36 @@ class ContinuousBatcher:
         if not active_mask.any():
             return
         ids = self.next_tok.copy().reshape(self.slots, 1)
-        logits, self.cache = self._decode(
-            self.params, jnp.asarray(ids), jnp.asarray(active_mask),
-            self.cache)
-        logits_np_rows = logits  # [slots, V] on device; sample per row
+        # per-slot sampling params ride the batch; a single distinct top_k
+        # is required per compiled program — mixed top_k falls back to the
+        # slot-wise host path (rare; the reference never sets top_k at all)
+        gens = [r.gen if r is not None else GenerationConfig()
+                for r in self.active]
+        top_ks = {g.top_k for g, a in zip(gens, active_mask) if a}
+        if len(top_ks) > 1:
+            logits, self.cache = self._decode(
+                self.params, jnp.asarray(ids), jnp.asarray(active_mask),
+                self.cache)
+            toks = np.asarray([
+                self._pick(logits[s:s + 1], self.active[s])
+                if self.active[s] is not None else 0
+                for s in range(self.slots)], np.int32)
+        else:
+            temps = np.asarray([g.temperature for g in gens], np.float32)
+            tops = np.asarray([g.top_p for g in gens], np.float32)
+            greedy = np.asarray(
+                [(not g.do_sample) or g.temperature == 0.0 for g in gens])
+            self.key, sub = jax.random.split(self.key)
+            tok_dev, self.cache = self._decode_sample(
+                self.params, jnp.asarray(ids), jnp.asarray(active_mask),
+                jnp.asarray(temps), jnp.asarray(tops), jnp.asarray(greedy),
+                self.cache, sub, top_k=(top_ks.pop() if top_ks else 0))
+            toks = np.asarray(tok_dev)          # ONE transfer for all slots
         for slot in range(self.slots):
             req = self.active[slot]
             if req is None:
                 continue
-            tok = self._pick(logits_np_rows[slot:slot + 1], req)
+            tok = int(toks[slot])
             req.tokens.append(tok)
             self.next_tok[slot] = tok
             self._maybe_finish(slot)

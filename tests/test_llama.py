@@ -163,6 +163,107 @@ class TestEngine:
         out = eng.generate([[1, 2]], gen)[0]
         assert out[0] == 42
 
+    def test_chunk_size_invariance(self, params):
+        """Greedy output must not depend on how many decode steps run per
+        dispatch (decode_loop chunking is a pure scheduling choice)."""
+        gen = GenerationConfig(max_new_tokens=7, do_sample=False,
+                               eos_token_id=-1)
+        outs = []
+        for chunk in (1, 3, 32):
+            eng = LlamaEngine(params, CFG, max_len=64,
+                              cache_dtype=jnp.float32, chunk_steps=chunk)
+            outs.append(eng.generate([[1, 5, 9], [2, 7]], gen))
+        assert outs[0] == outs[1] == outs[2]
+
+    def test_eos_mid_chunk_stops_row(self, params):
+        """A row hitting eos inside a chunk must not emit trailing junk."""
+        eng = LlamaEngine(params, CFG, max_len=64, cache_dtype=jnp.float32,
+                          chunk_steps=8)
+        # run greedy once to learn the natural 3rd token, then declare it eos
+        probe = eng.generate([[1, 5, 9]], GenerationConfig(
+            max_new_tokens=6, do_sample=False, eos_token_id=-1))[0]
+        eos = probe[2]
+        gen = GenerationConfig(max_new_tokens=6, do_sample=False,
+                               eos_token_id=eos)
+        out = eng.generate([[1, 5, 9]], gen)[0]
+        assert out == probe[:2]     # eos stripped, nothing after
+
+
+class TestDecodeLoop:
+    def test_matches_stepwise_greedy(self, params):
+        B, P, K = 2, 4, 5
+        ids = jnp.asarray(np.random.RandomState(0).randint(3, 200, (B, P)),
+                          jnp.int32)
+        cache = M.init_cache(CFG, B, 32, jnp.float32)
+        logits, cache = M.prefill(params, ids, cache, CFG)
+        tok = jnp.argmax(logits[:, -1], -1).astype(jnp.int32)
+
+        cache2 = jax.tree.map(jnp.copy, cache)
+        toks, done, _, _ = M.decode_loop(
+            params, tok, cache, jax.random.PRNGKey(0), CFG, steps=K,
+            do_sample=False, eos_id=-1)
+
+        want = []
+        cur = tok
+        for _ in range(K):
+            lg, cache2 = M.decode_step(params, cur[:, None], cache2, CFG)
+            cur = jnp.argmax(lg[:, 0], -1).astype(jnp.int32)
+            want.append(np.asarray(cur))
+        np.testing.assert_array_equal(np.asarray(toks), np.stack(want, 1))
+        assert not np.asarray(done).any()
+
+    def test_eos_pins_row(self, params):
+        B = 2
+        cache = M.init_cache(CFG, B, 32, jnp.float32)
+        ids = jnp.asarray([[1, 5], [2, 7]], jnp.int32)
+        logits, cache = M.prefill(params, ids, cache, CFG)
+        tok = jnp.argmax(logits[:, -1], -1).astype(jnp.int32)
+        # find what row 0 emits next, make THAT the eos id
+        lg, c2 = M.decode_step(params, tok[:, None],
+                               jax.tree.map(jnp.copy, cache), CFG)
+        eos = int(np.asarray(jnp.argmax(lg[:, 0], -1))[0])
+        toks, done, _, _ = M.decode_loop(
+            params, tok, cache, jax.random.PRNGKey(0), CFG, steps=4,
+            do_sample=False, eos_id=eos)
+        row0 = np.asarray(toks)[0]
+        assert row0[0] == eos and (row0 == eos).all()   # pinned after hit
+        assert bool(np.asarray(done)[0])
+
+
+class TestSampleBatched:
+    def test_greedy_rows_match_argmax(self):
+        from seed_tpu.ops.sampling import sample_batched
+        rng = np.random.RandomState(0)
+        logits = jnp.asarray(rng.randn(4, 50).astype(np.float32))
+        tok = sample_batched(
+            jax.random.PRNGKey(1), logits,
+            jnp.ones(4, jnp.float32), jnp.ones(4, jnp.float32),
+            jnp.asarray([True, True, True, True]))
+        np.testing.assert_array_equal(
+            np.asarray(tok), np.asarray(jnp.argmax(logits, -1)))
+
+    def test_rowwise_top_p_matches_scalar(self):
+        from seed_tpu.ops.sampling import apply_top_p_rowwise
+        rng = np.random.RandomState(1)
+        logits = jnp.asarray(rng.randn(3, 20).astype(np.float32))
+        for p in (0.3, 0.7):
+            got = apply_top_p_rowwise(logits, jnp.full(3, p, jnp.float32))
+            want = apply_top_p(logits, p)
+            np.testing.assert_allclose(np.asarray(got), np.asarray(want))
+
+    def test_mixed_rows(self):
+        from seed_tpu.ops.sampling import sample_batched
+        rng = np.random.RandomState(2)
+        logits = jnp.asarray(rng.randn(2, 30).astype(np.float32))
+        # row 0 greedy, row 1 top_p=0.01 (nucleus collapses to argmax too)
+        tok = sample_batched(
+            jax.random.PRNGKey(3), logits,
+            jnp.asarray([1.0, 1.0], jnp.float32),
+            jnp.asarray([1.0, 0.01], jnp.float32),
+            jnp.asarray([True, False]))
+        np.testing.assert_array_equal(
+            np.asarray(tok), np.asarray(jnp.argmax(logits, -1)))
+
 
 class TestMultimodalSplit:
     def test_split_interleaved(self):
@@ -184,6 +285,30 @@ class TestMultimodalSplit:
         ids = ByteTextTokenizer().encode("x") + [BOI_TOKEN_ID, IMAGE_ID_SHIFT + 5]
         segs = iface.split_output(ids)
         assert all(s.kind == "text" for s in segs)
+
+    def test_string_space_adapter_roundtrip(self):
+        """The reference's '<img><img_xxxxx>...</img>' vocabulary strings
+        (seed_llama_inference_8B.py:18-23) round-trip through the adapter."""
+        from seed_tpu.serving import codes_to_string, string_to_parts
+        codes = np.arange(32, dtype=np.int32)
+        s = "describe " + codes_to_string(codes) + " please"
+        assert "<img><img_00000>" in s and s.endswith("please")
+        parts = string_to_parts(s)
+        assert parts[0] == "describe " and parts[2] == " please"
+        np.testing.assert_array_equal(parts[1], codes)
+
+    def test_string_adapter_rejects_bad_codes(self):
+        from seed_tpu.serving import codes_to_string
+        with pytest.raises(ValueError):
+            codes_to_string([0, 99999])
+
+    def test_segments_to_string(self):
+        from seed_tpu.serving import Segment, segments_to_string
+        codes = np.arange(32, dtype=np.int32)[None]
+        s = segments_to_string([Segment("text", text="a"),
+                                Segment("image", image_codes=codes),
+                                Segment("text", text="b")])
+        assert s.startswith("a<img>") and s.endswith("</img>b")
 
     def test_prompt_assembly(self):
         iface = SeedLlamaInterface(engine=None, tok_params=None,
