@@ -48,6 +48,11 @@ def main():
     ap.add_argument("--batch-size", type=int, default=256)
     ap.add_argument("--image-size", type=int, default=224)
     ap.add_argument("--shard-size", type=int, default=10000)
+    ap.add_argument("--emit-clip-embeds", action="store_true",
+                    help="also write the frozen CLIP-ViT-H image embedding "
+                         "per record (the stage-2 distill target)")
+    ap.add_argument("--clip-ckpt", default=None,
+                    help="CLIP-ViT-H tower checkpoint (random init if absent)")
     args = ap.parse_args()
 
     import jax
@@ -64,9 +69,30 @@ def main():
         print("WARNING: no checkpoint given; using random init (smoke mode)")
         params = init_seed_tokenizer(jax.random.PRNGKey(0), cfg, jnp.bfloat16)
 
+    clip_params = None
+    if args.emit_clip_embeds:
+        from seed_tpu.models.vit import (CLIP_VIT_H, clip_image_embed,
+                                         init_clip_vision_projection, init_vit)
+        if args.clip_ckpt:
+            clip_params = restore_checkpoint(args.clip_ckpt)
+        else:
+            print("WARNING: no --clip-ckpt; random CLIP embeds (smoke mode)")
+            ck = jax.random.PRNGKey(1)
+            clip_params = {
+                "vit": init_vit(ck, CLIP_VIT_H, jnp.bfloat16),
+                "head": init_clip_vision_projection(
+                    jax.random.fold_in(ck, 1), CLIP_VIT_H,
+                    cfg.image_embed_dim, jnp.bfloat16)}
+
     @jax.jit
-    def encode_batch(p, raw_u8):
-        return encode(p, preprocess(raw_u8, args.image_size, jnp.bfloat16), cfg)
+    def encode_batch(p, cp, raw_u8):
+        imgs = preprocess(raw_u8, args.image_size, jnp.bfloat16)
+        ids = encode(p, imgs, cfg)
+        if cp is None:
+            return ids, None
+        from seed_tpu.models.vit import CLIP_VIT_H, clip_image_embed
+        emb = clip_image_embed(cp["vit"], cp["head"], imgs, CLIP_VIT_H)
+        return ids, emb.astype(jnp.float32)
 
     from seed_tpu import native
     from seed_tpu.data import list_shards, shard_for_host
@@ -106,11 +132,16 @@ def main():
         if n < args.batch_size:
             pad = np.zeros((args.batch_size - n, *pixels.shape[1:]), np.uint8)
             pixels = np.concatenate([pixels, pad])
-        ids = np.asarray(encode_batch(params, jnp.asarray(pixels)))[:n]
-        for rec, row in zip(batch, ids):
-            records.append({"__key__": rec["__key__"],
-                            "image_ids": row.astype(np.int32).tolist(),
-                            "text": rec["text"], "metadata": rec["meta"]})
+        ids, embs = encode_batch(params, clip_params, jnp.asarray(pixels))
+        ids = np.asarray(ids)[:n]
+        embs = np.asarray(embs)[:n] if embs is not None else [None] * n
+        for rec, row, emb in zip(batch, ids, embs):
+            out = {"__key__": rec["__key__"],
+                   "image_ids": row.astype(np.int32).tolist(),
+                   "text": rec["text"], "metadata": rec["meta"]}
+            if emb is not None:
+                out["clip_embed"] = emb.astype(np.float32)
+            records.append(out)
         total += n
         if len(records) >= args.shard_size:
             path = os.path.join(args.output, f"host{host}_{shard_idx:05d}.tar")

@@ -33,6 +33,14 @@ def main():
     ap.add_argument("--output", required=True)
     ap.add_argument("--save-steps", type=int, default=5000)
     ap.add_argument("--seed", type=int, default=42)
+    ap.add_argument("--distill-head", choices=["reverse_qformer", "image_down"],
+                    default="reverse_qformer",
+                    help="stage-2 image-distill head; reverse_qformer is the "
+                         "reference training default "
+                         "(blip2_qformer_codebook_all_image.py:84)")
+    ap.add_argument("--clip-ckpt", default=None,
+                    help="frozen CLIP-ViT-H tower checkpoint for the stage-2 "
+                         "distill target (random init if absent: smoke mode)")
     args = ap.parse_args()
     lr = args.lr or (3e-5 if args.stage == 1 else 1e-4)  # project yaml defaults
 
@@ -49,11 +57,12 @@ def main():
     from seed_tpu.parallel import auto_mesh
     from seed_tpu.serving import ByteTextTokenizer
     from seed_tpu.train import Trainer, adamw, warmup_cosine
+    from seed_tpu.train.optim import masked_trainable
     from seed_tpu.train.tokenizer_training import (
         STAGE1_TRAINABLE, STAGE2_TRAINABLE, Stage1Config, Stage2Config,
         init_stage1_head, stage1_loss, stage2_loss_scalar)
     from seed_tpu.utils.checkpoint import (CheckpointManager, filter_tree,
-                                           restore_checkpoint)
+                                           merge_tree, restore_checkpoint)
 
     if args.arch == "tiny":
         from seed_tpu.models import TINY_TOKENIZER
@@ -65,10 +74,19 @@ def main():
         base_cfg,
         qformer=dataclasses.replace(base_cfg.qformer,
                                     with_text=(args.stage == 1)),
-        with_recon_blocks=(args.stage == 2))
+        with_recon_blocks=(args.stage == 2),
+        use_qformer_image=(args.stage == 2
+                           and args.distill_head == "reverse_qformer"))
     key = jax.random.PRNGKey(args.seed)
-    tok_params = (restore_checkpoint(args.init_ckpt) if args.init_ckpt
-                  else init_seed_tokenizer(key, tok_cfg))
+    tok_params = init_seed_tokenizer(key, tok_cfg)
+    if args.init_ckpt:
+        # checkpoints hold the trainable subtree only (requires-grad-filtered,
+        # runner_base.py:411-434); merge over the fresh full tree. A stage-1
+        # checkpoint is wrapped as {"tokenizer": ..., "head": ...}.
+        restored = restore_checkpoint(args.init_ckpt)
+        if isinstance(restored, dict) and "tokenizer" in restored:
+            restored = restored["tokenizer"]
+        tok_params = merge_tree(tok_params, restored)
 
     text_tok = ByteTextTokenizer()
     mesh = auto_mesh()
@@ -89,8 +107,34 @@ def main():
             return stage2_loss_scalar(p, batch, rng, s2)
         trainable_pat = STAGE2_TRAINABLE
 
-    opt = adamw(warmup_cosine(lr, args.warmup, args.steps),
-                b1=0.9, b2=0.999, eps=1e-8, weight_decay=0.05, params=params)
+        # frozen CLIP-ViT-H distill-target tower, computed inline per batch
+        # (blip2_qformer_codebook_all_image.py:283-286 clip_model(image))
+        from seed_tpu.models.vit import (CLIP_VIT_H, clip_image_embed,
+                                         init_clip_vision_projection, init_vit)
+        clip_cfg = (CLIP_VIT_H if args.arch == "full" else
+                    dataclasses.replace(tok_cfg.vit, qkv_bias="full",
+                                        ln_pre=True, patch_bias=False))
+        if args.clip_ckpt:
+            clip_params = restore_checkpoint(args.clip_ckpt)
+        else:
+            print("WARNING: no --clip-ckpt; random CLIP targets (smoke mode)")
+            ck = jax.random.fold_in(key, 2)
+            clip_params = {
+                "vit": init_vit(ck, clip_cfg, jnp.bfloat16),
+                "head": init_clip_vision_projection(
+                    jax.random.fold_in(ck, 1), clip_cfg,
+                    tok_cfg.image_embed_dim, jnp.bfloat16)}
+
+        clip_fn = jax.jit(lambda cp, imgs: clip_image_embed(
+            cp["vit"], cp["head"], imgs.astype(jnp.bfloat16), clip_cfg
+        ).astype(jnp.float32))
+
+    # freeze mask: frozen towers get exactly zero updates (stop_gradient
+    # zeroes their grads but AdamW weight decay would still shrink them)
+    opt = masked_trainable(
+        adamw(warmup_cosine(lr, args.warmup, args.steps),
+              b1=0.9, b2=0.999, eps=1e-8, weight_decay=0.05, params=params),
+        params, trainable_pat)
     trainer = Trainer(loss_fn, params, opt, mesh)
 
     def example_stream():
@@ -98,7 +142,8 @@ def main():
                             cycle_count=None, seed=args.seed):
             img = s["image"].resize((args.image_size, args.image_size))
             ex = {"pixels": np.asarray(img, np.uint8),
-                  "text": s.get("text", "")}
+                  "text": s.get("text", ""),
+                  "clip_embed": s.get("clip_embed")}
             yield ex
 
     def collate(items):
@@ -116,10 +161,15 @@ def main():
                 pad[r, :len(enc)] = 1
             batch.update(text_ids=ids, text_pad=pad)
         else:
-            # distill targets: precomputed CLIP embeds expected in the data;
-            # zeros keep the smoke path runnable
-            batch["clip_embeds"] = np.zeros(
-                (len(items), tok_cfg.image_embed_dim), np.float32)
+            # distill targets: precomputed embeds ride the records if the
+            # extractor emitted them (--emit-clip-embeds); otherwise computed
+            # inline by the frozen CLIP tower (reference :283-286)
+            pre = [i.get("clip_embed") for i in items]
+            if all(p is not None for p in pre):
+                batch["clip_embeds"] = np.stack(pre).astype(np.float32)
+            else:
+                batch["clip_embeds"] = np.asarray(
+                    clip_fn(clip_params, jnp.asarray(imgs)))
         return batch
 
     data = Prefetcher(batched(shuffle_buffer(example_stream(), 2000,
@@ -135,9 +185,10 @@ def main():
     for start in range(0, args.steps, args.save_steps):
         n = min(args.save_steps, args.steps - start)
         trainer.train(data, n, rng=jax.random.fold_in(rng, start), log_fn=log)
-        # requires-grad-filtered checkpoint (trainable params only)
+        # requires-grad-filtered checkpoint (trainable params only,
+        # runner_base.py:418-424); restore merges over a fresh full tree
         trainable = filter_tree(trainer.state.params, trainable_pat)
-        mgr.save(int(trainer.state.step), trainer.state.params)
+        mgr.save(int(trainer.state.step), trainable)
     print("training done")
 
 

@@ -151,11 +151,26 @@ def convert_quantizer(sd: Dict[str, np.ndarray],
         "pos_embed_image": sd["pos_embed_image"],
         "blocks_image": _stack([
             _convert_vit_block(sd, f"blocks_image.{i}") for i in range(n_img)]),
-        "image_down": {"fc1": _linear(sd, "image_down.0", bias=False),
-                       "fc2": _linear(sd, "image_down.2", bias=False),
-                       "fc3": _linear(sd, "image_down.4", bias=False)},
         "distill_image_proj": _linear(sd, "distill_image_proj"),
     }
+    if "reverse_tokens" in sd:
+        # Reverse Q-Former distill head (use_qformer_image=True,
+        # blip2_qformer_codebook_all_image.py:145-157)
+        n_rev = _num_layers(sd, r"Reverse_Qformer\.bert\.encoder\.layer\.(\d+)\.")
+        params["reverse_qformer"] = {
+            "query_tokens": sd["reverse_tokens"],
+            "embeddings": {
+                "norm": _ln(sd, "Reverse_Qformer.bert.embeddings.LayerNorm")},
+            "layers": [
+                _convert_qformer_layer(
+                    sd, f"Reverse_Qformer.bert.encoder.layer.{i}")
+                for i in range(n_rev)],
+        }
+    else:
+        params["image_down"] = {
+            "fc1": _linear(sd, "image_down.0", bias=False),
+            "fc2": _linear(sd, "image_down.2", bias=False),
+            "fc3": _linear(sd, "image_down.4", bias=False)}
     if "pos_embed" in sd:  # recon_s stack (stage-2 training artifacts)
         n_rec = _num_layers(sd, r"blocks\.(\d+)\.")
         if n_rec:

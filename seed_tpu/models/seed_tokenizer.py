@@ -45,10 +45,25 @@ class SeedTokenizerConfig:
     decode_heads: int = 12
     image_embed_dim: int = 1024    # unCLIP CLIP-ViT-H image embedding dim
     with_recon_blocks: bool = False  # stage-2 training recon_s path (:238-250)
+    # distill head variant (qformer_quantizer.py:172 use_qformer_image):
+    # False = image_down MLP (inference default / released checkpoint);
+    # True  = 1-token Reverse Q-Former (the stage-2 TRAINING default,
+    # blip2_qformer_codebook_all_image.py:84,145-157)
+    use_qformer_image: bool = False
 
     @property
     def hidden(self) -> int:
         return self.qformer.hidden
+
+    @property
+    def reverse_qformer(self) -> QFormerConfig:
+        """1 reverse token cross-attending to the 32 decoded features
+        (init_Qformer(num_reverse_token=1, hidden_size), same depth/heads
+        as the main Q-Former, encoder_width = hidden)."""
+        import dataclasses
+        return dataclasses.replace(self.qformer, query_len=1,
+                                   encoder_width=self.hidden,
+                                   with_text=False)
 
 
 SEED_TOKENIZER = SeedTokenizerConfig()
@@ -89,14 +104,24 @@ def init_seed_tokenizer(key, cfg: SeedTokenizerConfig = SEED_TOKENIZER,
         "blocks_image": stack_blocks([
             init_block(k, h, h * 4, "full", dtype)
             for k in L.split_keys(ks[7], cfg.decode_depth)]),
-        "image_down": {
+    }
+    if cfg.use_qformer_image:
+        # Reverse Q-Former distill head (training default,
+        # blip2_qformer_codebook_all_image.py:145-157): 1 reverse token +
+        # proj hidden -> image_embed_dim
+        params["reverse_qformer"] = init_qformer(ks[8], cfg.reverse_qformer,
+                                                 dtype)
+        params["distill_image_proj"] = L.init_linear(
+            ks[11], h, cfg.image_embed_dim, dtype=dtype)
+    else:
+        params["image_down"] = {
             "fc1": L.init_linear(ks[8], h, 256, bias=False, dtype=dtype),
             "fc2": L.init_linear(ks[9], 256, 128, bias=False, dtype=dtype),
             "fc3": L.init_linear(ks[10], 128, 32, bias=False, dtype=dtype),
-        },
-        "distill_image_proj": L.init_linear(
-            ks[11], cfg.qformer.query_len * 32, cfg.image_embed_dim, dtype=dtype),
-    }
+        }
+        params["distill_image_proj"] = L.init_linear(
+            ks[11], cfg.qformer.query_len * 32, cfg.image_embed_dim,
+            dtype=dtype)
     if cfg.with_recon_blocks:
         kr = jax.random.fold_in(key, 99)
         params["pos_embed"] = jnp.zeros((1, cfg.qformer.query_len, h), dtype)
@@ -130,23 +155,36 @@ def encode(params, images: jnp.ndarray,
 
 # ------------------------------ decode -------------------------------------
 
+def distill_head(params, h: jnp.ndarray,
+                 cfg: SeedTokenizerConfig) -> jnp.ndarray:
+    """Decoded features [B, Q, hidden] (post blocks_image) -> unCLIP image
+    embedding [B, image_embed_dim]. Two reference variants
+    (qformer_quantizer.py:309-338 / blip2_qformer_codebook_all_image.py
+    :255-269): the 1-token Reverse Q-Former (use_qformer_image=True) or the
+    image_down MLP (False, the released-checkpoint inference path)."""
+    if cfg.use_qformer_image:
+        rev = qformer_apply(params["reverse_qformer"], h, cfg.reverse_qformer)
+        return L.linear(params["distill_image_proj"], rev[:, 0])
+    h = jax.nn.relu(L.linear(params["image_down"]["fc1"], h))
+    h = jax.nn.relu(L.linear(params["image_down"]["fc2"], h))
+    h = L.linear(params["image_down"]["fc3"], h)
+    h = h.reshape(h.shape[0], -1)
+    return L.linear(params["distill_image_proj"], h)
+
+
 def decode_embedding(params, indices: jnp.ndarray,
                      cfg: SeedTokenizerConfig = SEED_TOKENIZER) -> jnp.ndarray:
     """token ids [B, Q] -> unCLIP image embedding [B, image_embed_dim].
 
-    Equivalent to Blip2QformerQuantizer.get_codebook_entry (:309-338,
-    use_qformer_image=False inference path).
+    Equivalent to Blip2QformerQuantizer.get_codebook_entry (:309-338),
+    both distill-head variants.
     """
     z_q = VQ.lookup(params["vq"], indices)
     h = jnp.tanh(L.linear(params["decode_task"]["fc1"], z_q))
     h = L.linear(params["decode_task"]["fc2"], h)
     h = h + params["pos_embed_image"].astype(h.dtype)
     h = blocks_apply(params["blocks_image"], h, _decode_block_cfg(cfg))
-    h = jax.nn.relu(L.linear(params["image_down"]["fc1"], h))
-    h = jax.nn.relu(L.linear(params["image_down"]["fc2"], h))
-    h = L.linear(params["image_down"]["fc3"], h)
-    h = h.reshape(h.shape[0], -1)
-    return L.linear(params["distill_image_proj"], h)
+    return distill_head(params, h, cfg)
 
 
 def encode_to_embedding(params, images: jnp.ndarray,

@@ -78,3 +78,20 @@ def adamw(schedule, b1: float = 0.9, b2: float = 0.95, eps: float = 1e-5,
     txs.append(optax.adamw(schedule, b1=b1, b2=b2, eps=eps,
                            weight_decay=weight_decay, mask=mask))
     return optax.chain(*txs)
+
+
+def masked_trainable(tx, params: Any, trainable_pattern: str):
+    """Zero updates for params NOT matching ``trainable_pattern``.
+
+    stop_gradient on frozen towers zeroes their *gradients*, but AdamW's
+    decoupled weight decay still shrinks them (update = adam + wd*param) —
+    this wrapper pins frozen params exactly, matching the reference's
+    requires_grad=False semantics (blip2_qformer_codebook_all_image.py
+    :69-100: frozen ViT/Q-Former never enter the optimizer)."""
+    import re
+    pat = re.compile(trainable_pattern)
+    labels = jax.tree_util.tree_map_with_path(
+        lambda path, _: "train" if pat.search(path_str(path)) else "freeze",
+        params)
+    return optax.multi_transform({"train": tx, "freeze": optax.set_to_zero()},
+                                 param_labels=labels)

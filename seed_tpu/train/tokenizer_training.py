@@ -175,14 +175,12 @@ def stage2_loss(params, batch, rng, cfg: Stage2Config
     rec = blocks_apply(params["blocks"], rec, _decode_block_cfg(tcfg))
     loss_recon = cosine_recon_loss(rec, query_out)
 
-    # image distillation head (:246-285, image_down variant)
+    # image distillation head (:246-285): Reverse Q-Former (training
+    # default, use_qformer_image=True) or image_down MLP, per config
+    from ..models.seed_tokenizer import distill_head
     img = up + params["pos_embed_image"].astype(up.dtype)
     img = blocks_apply(params["blocks_image"], img, _decode_block_cfg(tcfg))
-    img = jax.nn.relu(L.linear(params["image_down"]["fc1"], img))
-    img = jax.nn.relu(L.linear(params["image_down"]["fc2"], img))
-    img = L.linear(params["image_down"]["fc3"], img)
-    img = img.reshape(img.shape[0], -1)
-    pred_embed = L.linear(params["distill_image_proj"], img)
+    pred_embed = distill_head(params, img, tcfg)
     loss_distill = mse_loss(pred_embed, batch["clip_embeds"])
 
     total = (cfg.w_embed * vq_loss + cfg.w_recon * loss_recon
@@ -200,9 +198,13 @@ def stage2_loss_scalar(params, batch, rng, cfg: Stage2Config) -> jnp.ndarray:
     return stage2_loss(params, batch, rng, cfg)[0]
 
 
-# trainable-path regexes for requires-grad-filtered checkpoints
-# (runner_base.py:411-434 semantics)
-STAGE1_TRAINABLE = r"(qformer|head)/"
-STAGE2_TRAINABLE = (r"(encode_task|decode_task|vq|pos_embed|blocks|"
+# trainable-path regexes: drive BOTH the requires-grad-filtered checkpoints
+# (runner_base.py:411-434 semantics) and the optimizer freeze mask
+# (optim.masked_trainable). Segment-anchored so e.g. "vit/blocks" does not
+# match the stage-2 "blocks" recon stack.
+# Stage 1 trains Q-Former + ln_vision + projection heads (only the ViT
+# forward is no-grad, blip2_qformer_casual.py:121-124).
+STAGE1_TRAINABLE = r"(^|/)(qformer|ln_vision|head)(/|$)"
+STAGE2_TRAINABLE = (r"^(encode_task|decode_task|vq|pos_embed|blocks|"
                     r"pos_embed_image|blocks_image|image_down|"
-                    r"distill_image_proj)")
+                    r"reverse_qformer|distill_image_proj)(/|$)")

@@ -59,6 +59,32 @@ def filter_tree(tree: Any, pattern: str) -> Any:
         lambda p, l: l if pat.search(path_str(p)) else None, tree)
 
 
+def merge_tree(base: Any, overlay: Any) -> Any:
+    """Path-keyed lenient merge: overlay leaves replace base leaves at the
+    same tree path; overlay paths missing from base are ignored, base paths
+    missing from overlay keep their value, None overlay leaves are skipped.
+
+    The inverse of ``filter_tree`` and the LAVIS
+    load_checkpoint(strict=False) semantics: restore a requires-grad-
+    filtered checkpoint over a freshly initialized full tree, or a stage-1
+    Q-Former (with text pathway) into a stage-2 model (without)."""
+    from ..parallel.partition import path_str
+    flat = jax.tree_util.tree_flatten_with_path(
+        overlay, is_leaf=lambda x: x is None)[0]
+    by_path = {path_str(p): leaf for p, leaf in flat if leaf is not None}
+
+    def pick(p, b):
+        o = by_path.get(path_str(p))
+        if o is None:
+            return b
+        if tuple(np.shape(o)) != tuple(np.shape(b)):
+            raise ValueError(f"merge_tree: shape mismatch at {path_str(p)}: "
+                             f"{np.shape(b)} (base) vs {np.shape(o)} (overlay)")
+        return o
+
+    return jax.tree_util.tree_map_with_path(pick, base)
+
+
 class CheckpointManager:
     """Step-numbered checkpoints with retention + best-metric tracking
     (the RunnerBase save_checkpoint(is_best=...) semantics)."""

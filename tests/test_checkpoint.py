@@ -55,3 +55,50 @@ def test_filter_tree_trainable_only():
     kept = filter_tree(params, r"(embed_tokens|lm_head)/")
     assert kept["embed_tokens"]["embedding"] is not None
     assert kept["layers"]["q_proj"]["kernel"] is None
+
+
+def test_merge_tree_restores_filtered_over_fresh():
+    from seed_tpu.utils.checkpoint import merge_tree
+    params = M.init_llama(jax.random.PRNGKey(0), CFG, dtype=jnp.float32)
+    trained = jax.tree.map(lambda x: x + 1.0, params)
+    saved = filter_tree(trained, r"(embed_tokens|lm_head)/")
+    merged = merge_tree(params, saved)
+    np.testing.assert_array_equal(
+        np.asarray(merged["embed_tokens"]["embedding"]),
+        np.asarray(trained["embed_tokens"]["embedding"]))
+    np.testing.assert_array_equal(               # untouched leaf kept
+        np.asarray(merged["layers"]["q_proj"]["kernel"]),
+        np.asarray(params["layers"]["q_proj"]["kernel"]))
+
+
+def test_merge_tree_ignores_extra_overlay_paths():
+    """Stage-1 -> stage-2 init: overlay may hold text-pathway params the
+    stage-2 tree lacks (ffn_t, word_embeddings); they're skipped."""
+    from seed_tpu.utils.checkpoint import merge_tree
+    base = {"a": np.zeros(3), "b": {"c": np.ones(2)}}
+    overlay = {"a": np.full(3, 7.0), "b": {"c": None, "extra": np.ones(9)}}
+    merged = merge_tree(base, overlay)
+    np.testing.assert_array_equal(merged["a"], np.full(3, 7.0))
+    np.testing.assert_array_equal(merged["b"]["c"], np.ones(2))
+
+
+def test_merge_tree_shape_mismatch_raises():
+    from seed_tpu.utils.checkpoint import merge_tree
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="shape mismatch"):
+        merge_tree({"a": np.zeros(3)}, {"a": np.zeros(4)})
+
+
+def test_filtered_checkpoint_roundtrip_and_merge(tmp_path):
+    """End-to-end runner semantics: save trainable-only, restore, merge."""
+    from seed_tpu.utils.checkpoint import merge_tree
+    params = M.init_llama(jax.random.PRNGKey(0), CFG, dtype=jnp.float32)
+    trained = jax.tree.map(lambda x: x * 2.0, params)
+    save_checkpoint(str(tmp_path / "ck"), filter_tree(trained, r"lm_head/"))
+    restored = restore_checkpoint(str(tmp_path / "ck"))
+    merged = merge_tree(params, restored)
+    np.testing.assert_array_equal(np.asarray(merged["lm_head"]["kernel"]),
+                                  np.asarray(trained["lm_head"]["kernel"]))
+    np.testing.assert_array_equal(
+        np.asarray(merged["norm"]["scale"]),
+        np.asarray(params["norm"]["scale"]))

@@ -50,9 +50,12 @@ TPU_CFG = SeedTokenizerConfig(
                           query_len=Q),
     codebook_size=N_CODES, code_dim=CODE_DIM, decode_depth=2, decode_heads=2,
     image_embed_dim=IMG_EMBED)
+import dataclasses
+
+TPU_CFG_REV = dataclasses.replace(TPU_CFG, use_qformer_image=True)
 
 
-def _build_reference_quantizer() -> torch.nn.Module:
+def _build_reference_quantizer(use_qformer_image: bool = False) -> torch.nn.Module:
     """The live pieces of Blip2QformerQuantizer (qformer_quantizer.py:143-286)
     with checkpoint-identical attribute names, built directly (the real
     __init__ downloads eva/bert weights; offline here)."""
@@ -67,23 +70,27 @@ def _build_reference_quantizer() -> torch.nn.Module:
         num_heads=VIT_HEADS, mlp_ratio=2.0, qkv_bias=True,
         use_mean_pooling=False, norm_layer=partial(nn.LayerNorm, eps=1e-6))
 
-    cfg = qc.BertConfig(
-        vocab_size=64, hidden_size=QF_HID, num_hidden_layers=QF_LAYERS,
-        num_attention_heads=QF_HEADS, intermediate_size=QF_INTER,
-        hidden_act="gelu", hidden_dropout_prob=0.0,
-        attention_probs_dropout_prob=0.0, layer_norm_eps=1e-12)
-    cfg.encoder_width = VIT_DIM
-    cfg.add_cross_attention = True
-    cfg.cross_attention_freq = 2
-    cfg.query_length = Q
-    qformer = qc.BertLMHeadModel(config=cfg)
-    # strip exactly what the quantizer strips (qformer_quantizer.py:206-211)
-    qformer.cls = None
-    qformer.bert.embeddings.word_embeddings = None
-    qformer.bert.embeddings.position_embeddings = None
-    for layer in qformer.bert.encoder.layer:
-        layer.output = None
-        layer.intermediate = None
+    def make_qformer(query_length, encoder_width):
+        c = qc.BertConfig(
+            vocab_size=64, hidden_size=QF_HID, num_hidden_layers=QF_LAYERS,
+            num_attention_heads=QF_HEADS, intermediate_size=QF_INTER,
+            hidden_act="gelu", hidden_dropout_prob=0.0,
+            attention_probs_dropout_prob=0.0, layer_norm_eps=1e-12)
+        c.encoder_width = encoder_width
+        c.add_cross_attention = True
+        c.cross_attention_freq = 2
+        c.query_length = query_length
+        qf = qc.BertLMHeadModel(config=c)
+        # strip exactly what the quantizer strips (qformer_quantizer.py:206-211)
+        qf.cls = None
+        qf.bert.embeddings.word_embeddings = None
+        qf.bert.embeddings.position_embeddings = None
+        for layer in qf.bert.encoder.layer:
+            layer.output = None
+            layer.intermediate = None
+        return qf
+
+    qformer = make_qformer(Q, VIT_DIM)
 
     class RefQuantizer(nn.Module):
         def __init__(self):
@@ -108,11 +115,18 @@ def _build_reference_quantizer() -> torch.nn.Module:
                            attn_drop=0.0, drop_path=0.0,
                            norm_layer=partial(nn.LayerNorm, eps=1e-6))
                 for _ in range(2)])
-            self.image_down = nn.Sequential(
-                nn.Linear(QF_HID, 256, bias=False), nn.ReLU(),
-                nn.Linear(256, 128, bias=False), nn.ReLU(),
-                nn.Linear(128, 32, bias=False))
-            self.distill_image_proj = nn.Linear(Q * 32, IMG_EMBED)
+            if use_qformer_image:
+                # Reverse Q-Former head (qformer_quantizer.py:257-276 /
+                # blip2_qformer_codebook_all_image.py:145-157)
+                self.Reverse_Qformer = make_qformer(1, QF_HID)
+                self.reverse_tokens = nn.Parameter(torch.zeros(1, 1, QF_HID))
+                self.distill_image_proj = nn.Linear(QF_HID, IMG_EMBED)
+            else:
+                self.image_down = nn.Sequential(
+                    nn.Linear(QF_HID, 256, bias=False), nn.ReLU(),
+                    nn.Linear(256, 128, bias=False), nn.ReLU(),
+                    nn.Linear(128, 32, bias=False))
+                self.distill_image_proj = nn.Linear(Q * 32, IMG_EMBED)
 
         # verbatim pipeline of get_codebook_indices (:288-307)
         @torch.no_grad()
@@ -131,7 +145,7 @@ def _build_reference_quantizer() -> torch.nn.Module:
             embed_ind = embed_ind.reshape(quant.shape[0], -1)
             return embed_ind, query_output_down
 
-        # verbatim pipeline of get_codebook_entry (:309-338, image_down path)
+        # verbatim pipeline of get_codebook_entry (:309-338, both variants)
         @torch.no_grad()
         def get_codebook_entry(self, indices):
             quant = self.quantize.get_codebook_entry(indices.reshape(-1))
@@ -140,6 +154,15 @@ def _build_reference_quantizer() -> torch.nn.Module:
             up = up + self.pos_embed_image.repeat(up.shape[0], 1, 1)
             for blk in self.blocks_image:
                 up = blk(up)
+            if use_qformer_image:
+                query_atts = torch.ones(up.size()[:-1], dtype=torch.long)
+                reverse_tokens = self.reverse_tokens.expand(up.shape[0], -1, -1)
+                out = self.Reverse_Qformer.bert(
+                    query_embeds=reverse_tokens,
+                    encoder_hidden_states=up,
+                    encoder_attention_mask=query_atts,
+                    return_dict=True).last_hidden_state
+                return self.distill_image_proj(out).squeeze(1)
             down = self.image_down(up)
             down = down.reshape(down.shape[0], -1)
             return self.distill_image_proj(down)
@@ -158,12 +181,21 @@ def _build_reference_quantizer() -> torch.nn.Module:
     return model
 
 
-@pytest.fixture(scope="module")
-def pair():
-    ref = _build_reference_quantizer()
+def _make_pair(use_qformer_image: bool):
+    ref = _build_reference_quantizer(use_qformer_image)
     sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
     params = jax.tree.map(jnp.asarray, convert_quantizer(sd))
     return ref, params
+
+
+@pytest.fixture(scope="module")
+def pair():
+    return _make_pair(use_qformer_image=False)
+
+
+@pytest.fixture(scope="module")
+def pair_rev():
+    return _make_pair(use_qformer_image=True)
 
 
 @pytest.fixture(scope="module")
@@ -197,6 +229,17 @@ class TestReferenceParity:
             torch.from_numpy(images).permute(0, 3, 1, 2))
         want = ref.get_codebook_entry(ids_t)
         got = decode_embedding(params, jnp.asarray(ids_t.numpy()), TPU_CFG)
+        np.testing.assert_allclose(np.asarray(got), want.numpy(),
+                                   rtol=1e-4, atol=1e-5)
+
+    def test_decode_embedding_reverse_qformer_matches(self, pair_rev, images):
+        """use_qformer_image=True: the 1-token Reverse Q-Former distill head
+        (the reference stage-2 TRAINING default)."""
+        ref, params = pair_rev
+        ids_t, _ = ref.get_codebook_indices(
+            torch.from_numpy(images).permute(0, 3, 1, 2))
+        want = ref.get_codebook_entry(ids_t)
+        got = decode_embedding(params, jnp.asarray(ids_t.numpy()), TPU_CFG_REV)
         np.testing.assert_allclose(np.asarray(got), want.numpy(),
                                    rtol=1e-4, atol=1e-5)
 

@@ -127,6 +127,52 @@ class TestStage2:
         assert absmax(grads["blocks_image"]) > 0
         assert absmax(grads["distill_image_proj"]) > 0
 
+    def test_reverse_qformer_head_variant(self):
+        """use_qformer_image=True (the reference stage-2 TRAINING default,
+        blip2_qformer_codebook_all_image.py:84): loss runs, frozen towers
+        stay frozen, the reverse q-former gets gradients."""
+        cfg_rev = dataclasses.replace(TOK_CFG_TEXT, use_qformer_image=True)
+        cfg = Stage2Config(tokenizer=cfg_rev)
+        p = init_seed_tokenizer(jax.random.PRNGKey(0), cfg_rev)
+        assert "reverse_qformer" in p and "image_down" not in p
+        total, metrics = stage2_loss(p, batch(), None, cfg)
+        assert np.isfinite(float(total))
+        grads = jax.grad(lambda pp: stage2_loss_scalar(pp, batch(), None, cfg))(p)
+
+        def absmax(tree):
+            leaves = [np.abs(np.asarray(x)).max() for x in jax.tree.leaves(tree)]
+            return max(leaves) if leaves else 0.0
+
+        assert absmax(grads["vit"]) == 0.0
+        assert absmax(grads["reverse_qformer"]) > 0
+        assert absmax(grads["distill_image_proj"]) > 0
+
+    def test_masked_optimizer_pins_frozen_params(self):
+        """AdamW weight decay must NOT shrink frozen towers: with
+        masked_trainable, frozen leaves are bit-identical after a step."""
+        from seed_tpu.train.optim import masked_trainable
+        from seed_tpu.train.tokenizer_training import STAGE2_TRAINABLE
+        cfg = Stage2Config(tokenizer=TOK_CFG_TEXT)
+        p = tok_params()
+        mesh = make_mesh(dp=1, fsdp=1, tp=1, devices=jax.devices()[:1])
+        opt = masked_trainable(
+            adamw(cosine_with_floor(1e-2, 0, 100), weight_decay=0.1, params=p),
+            p, STAGE2_TRAINABLE)
+        tr = Trainer(lambda pp, b, r: stage2_loss_scalar(pp, b, r, cfg),
+                     p, opt, mesh)
+        before_vit = jax.tree.map(np.asarray, p["vit"])
+        before_qf = jax.tree.map(np.asarray, p["qformer"])
+        tr.step(batch(), jax.random.PRNGKey(0))
+        after = tr.state.params
+        jax.tree.map(np.testing.assert_array_equal, before_vit,
+                     jax.tree.map(np.asarray, after["vit"]))
+        jax.tree.map(np.testing.assert_array_equal, before_qf,
+                     jax.tree.map(np.asarray, after["qformer"]))
+        # trainable parts DID move
+        moved = np.abs(np.asarray(after["vq"]["codebook"])
+                       - np.asarray(p["vq"]["codebook"])).max()
+        assert moved > 0
+
     def test_distill_loss_decreases_with_training(self):
         cfg = Stage2Config(tokenizer=TOK_CFG_TEXT)
         p = tok_params()
