@@ -327,17 +327,236 @@ def build_retrieval_augmented_example(
             "labels": np.asarray(labels, np.int32)}
 
 
-# generation prompt templates for t2i SFT (torchdata_sft.py:17-37 ships 20;
-# representative set, used by build_caption_example(caption_prompts=...))
+def _finish(ids: List[int], labels: List[int], text_tokenizer,
+            max_length: int) -> Dict[str, np.ndarray]:
+    """bos/eos framing + padding shared by the multi-turn builders."""
+    ids = [text_tokenizer.bos_token_id] + ids + [text_tokenizer.eos_token_id]
+    labels = [IGNORE_INDEX] + labels + [text_tokenizer.eos_token_id]
+    mask = [1] * len(ids)
+    ids, mask, labels = _pad(ids, mask, labels, max_length)
+    return {"input_ids": np.asarray(ids, np.int32),
+            "attention_mask": np.asarray(mask, np.int32),
+            "labels": np.asarray(labels, np.int32)}
+
+
+def build_text_conversation_example(
+    record: Dict[str, Any],
+    text_tokenizer,
+    max_length: int = 512,
+    system_message: str = "",
+    s_token: str = "USER:",
+    e_token: str = "ASSISTANT:",
+    sep: str = "\n",
+) -> Optional[Dict[str, np.ndarray]]:
+    """Text-only multi-turn conversation (ShareGPT-style,
+    decode_text_conversation_data_for_llm, torchdata_sft.py:111-180):
+    record = {"data": [user, assistant, user, assistant, ...]};
+    user turns -100, assistant turns supervised."""
+    data = record.get("data")
+    if not data:
+        return None
+    ids: List[int] = []
+    labels: List[int] = []
+    if system_message:
+        if not system_message.endswith("\n"):
+            system_message += "\n"
+        s_ids = text_tokenizer.encode(system_message)
+        ids.extend(s_ids)
+        labels.extend([IGNORE_INDEX] * len(s_ids))
+    for idx, content in enumerate(data):
+        if idx % 2 == 0:  # user
+            prefix = (s_token + " ") if idx == 0 else (sep + s_token + " ")
+            t_ids = text_tokenizer.encode(prefix + str(content) + sep + e_token)
+            ids.extend(t_ids)
+            labels.extend([IGNORE_INDEX] * len(t_ids))
+        else:             # assistant
+            t_ids = text_tokenizer.encode(str(content))
+            ids.extend(t_ids)
+            labels.extend(t_ids)
+    return _finish(ids, labels, text_tokenizer, max_length)
+
+
+def build_visual_instruction_example(
+    record: Dict[str, Any],
+    text_tokenizer,
+    max_length: int = 512,
+    s_token: str = "USER:",
+    e_token: str = "ASSISTANT:",
+    sep: str = "\n",
+) -> Optional[Dict[str, np.ndarray]]:
+    """LLaVA/M3IT-style visual instruction
+    (decode_visual_question_data_for_llm, torchdata_sft.py:182-290): all
+    images prefix the FIRST user turn; two record formats —
+    {"image_ids": [codes,...], "data": [u, a, ...]} multi-turn, or
+    {"image_ids": ..., "instruction", "inputs", "outputs"} single-turn
+    (empty inputs falls back to the instruction, :241-243)."""
+    images = record.get("image_ids")
+    if images is None:
+        return None
+    if images and not isinstance(images[0], (list, np.ndarray)):
+        images = [images]
+    img_ids: List[int] = []
+    for codes in images:
+        img_ids.extend(image_token_ids(codes))
+
+    ids: List[int] = []
+    labels: List[int] = []
+    if record.get("data"):
+        for idx, content in enumerate(record["data"]):
+            content = str(content).strip()
+            if idx % 2 == 0:
+                head = text_tokenizer.encode(
+                    (s_token + " ") if idx == 0 else (sep + s_token + " "))
+                body = (img_ids if idx == 0 else [])
+                tail = text_tokenizer.encode(content + sep + e_token)
+                t_ids = head + body + tail
+                ids.extend(t_ids)
+                labels.extend([IGNORE_INDEX] * len(t_ids))
+            else:
+                if not content.endswith("."):
+                    content += "."
+                t_ids = text_tokenizer.encode(content)
+                ids.extend(t_ids)
+                labels.extend(t_ids)
+    elif "instruction" in record:
+        inputs = str(record.get("inputs", "")).strip() or str(record["instruction"])
+        q_ids = (text_tokenizer.encode(s_token + " ") + img_ids
+                 + text_tokenizer.encode(inputs + sep + e_token))
+        a_ids = text_tokenizer.encode(str(record.get("outputs", "")))
+        ids.extend(q_ids + a_ids)
+        labels.extend([IGNORE_INDEX] * len(q_ids) + a_ids)
+    else:
+        return None
+    return _finish(ids, labels, text_tokenizer, max_length)
+
+
+# assistant-side response openers for edit turns (torchdata_sft.py:71-79)
+EDIT_PROMPT_RESPONSES = [
+    "Here is a picture.",
+    "I have created an image.",
+    "Enjoy this picture.",
+    "I have generated an image.",
+    "Here's a picture.",
+    "Here's an image.",
+    "Certainly, here's an image.",
+    "Sure, here is a picture.",
+]
+
+
+def build_multi_edit_example(
+    record: Dict[str, Any],
+    text_tokenizer,
+    max_length: int = 512,
+    image_id_length: int = 32,
+    s_token: str = "USER:",
+    e_token: str = "ASSISTANT:",
+    sep: str = "\n",
+    rng: Optional[random.Random] = None,
+) -> Optional[Dict[str, np.ndarray]]:
+    """Multi-turn image editing (MagicBrush-style,
+    decode_edit_multi_pair_for_llm, torchdata_sft.py:360-451): image_ids
+    holds N+1 concatenated 32-id frames; turn i asks instruction{i} on the
+    previous frame and answers with a response opener + the next frame."""
+    rng = rng or random
+    flat = record.get("image_ids")
+    if flat is None:
+        return None
+    frames = [list(flat[i * image_id_length:(i + 1) * image_id_length])
+              for i in range(len(flat) // image_id_length)]
+    instrs = []
+    i = 0
+    while f"instruction{i}" in record:
+        instrs.append(str(record[f"instruction{i}"]))
+        i += 1
+    if len(frames) < 2 or len(instrs) < len(frames) - 1:
+        return None
+    response = rng.choice(EDIT_PROMPT_RESPONSES)
+    ids: List[int] = []
+    labels: List[int] = []
+    for t in range(len(frames) - 1):
+        if t == 0:
+            q_ids = (text_tokenizer.encode(s_token + " ")
+                     + image_token_ids(frames[0])
+                     + text_tokenizer.encode(instrs[0] + sep + e_token))
+        else:
+            q_ids = text_tokenizer.encode(
+                sep + s_token + " " + instrs[t] + sep + e_token)
+        a_ids = (text_tokenizer.encode(response)
+                 + image_token_ids(frames[t + 1]))
+        ids.extend(q_ids + a_ids)
+        labels.extend([IGNORE_INDEX] * len(q_ids) + a_ids)
+    return _finish(ids, labels, text_tokenizer, max_length)
+
+
+def build_video_conversation_example(
+    record: Dict[str, Any],
+    text_tokenizer,
+    max_length: int = 512,
+    image_id_length: int = 32,
+    s_token: str = "USER:",
+    e_token: str = "ASSISTANT:",
+    sep: str = "\n",
+) -> Optional[Dict[str, np.ndarray]]:
+    """Video QA conversation (decode_video_conversation_pair_for_llm,
+    torchdata_sft.py:530-610): frames prefix the first question; multi-QA
+    records pack turns as 'Question: ...'/'Answer: ...' strings."""
+    flat = record.get("image_ids")
+    question = str(record.get("question", ""))
+    answer = str(record.get("answer", ""))
+    if flat is None or not question:
+        return None
+    n_frames = len(flat) // image_id_length
+    img_ids: List[int] = []
+    for i in range(n_frames):
+        img_ids.extend(image_token_ids(
+            flat[i * image_id_length:(i + 1) * image_id_length]))
+
+    if "Question:" in question and "Answer:" in answer:
+        q_list = [q.strip() for q in question.split("Question: ")[1:]]
+        a_list = [a.strip() for a in answer.split("Answer: ")[1:]]
+        if len(q_list) != len(a_list):
+            return None
+        turns = list(zip(q_list, a_list))
+    else:
+        turns = [(question, answer)]
+
+    ids: List[int] = []
+    labels: List[int] = []
+    for i, (q, a) in enumerate(turns):
+        if i == 0:
+            q_ids = (text_tokenizer.encode(s_token + " ") + img_ids
+                     + text_tokenizer.encode(q + sep + e_token))
+        else:
+            q_ids = text_tokenizer.encode(sep + s_token + " " + q + sep + e_token)
+        a_ids = text_tokenizer.encode(a)
+        ids.extend(q_ids + a_ids)
+        labels.extend([IGNORE_INDEX] * len(q_ids) + a_ids)
+    return _finish(ids, labels, text_tokenizer, max_length)
+
+
+# the 20 t2i generation prompt templates (torchdata_sft.py:17-37 gen_prompt;
+# used by build_caption_example(caption_prompts=...))
 GENERATION_PROMPTS = [
-    "Please generate an image based on the following description: {}",
-    "Create an image depicting: {}",
+    "Please show me a picture of {}",
+    "Please design an image of {}",
+    "Please produce a photo of {}",
+    "Please generate an image of {}",
+    "Please draw a painting of {}",
+    "I'd like to see a drawing of {}",
+    "I'd love to see an illustration of {}",
+    "I'd like to view an image of {}",
+    "I want to see a picture of {}",
+    "I would like to see a photo of {}",
+    "Show me a photo of {}",
+    "Generate a picture of {}",
+    "Show me a photograph of {}",
     "Generate an image of {}",
-    "Show me a picture of {}",
-    "Can you draw {}?",
-    "I want to see an image of {}",
-    "Produce an image that matches this caption: {}",
-    "Visualize the following: {}",
+    "Can you make an image of {}",
+    "Can you draw a painting of {}",
+    "Can you produce a picture of {}",
+    "Can you generate a photo of {}",
+    "Can you depict a picture of {}",
+    "Can you show me an illustration of {}",
 ]
 
 

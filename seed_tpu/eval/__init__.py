@@ -1,5 +1,16 @@
+from .caption_eval import evaluate_captions, generate_images_for_fid
+from .eval_readers import (CAPTION_PROMPT, VQA_PROMPT_SUFFIX,
+                           caption_eval_stream, edit_eval_stream,
+                           evaluate_vqa, iter_json_records,
+                           load_video_frames, sample_frames,
+                           video_eval_stream, vqa_eval_stream)
 from .metrics import (bleu, caption_metrics, cider_d, fid, frechet_distance,
-                      gaussian_stats, inception_score)
+                      gaussian_stats, inception_score, vqa_accuracy)
 
 __all__ = ["bleu", "caption_metrics", "cider_d", "fid", "frechet_distance",
-           "gaussian_stats", "inception_score"]
+           "gaussian_stats", "inception_score", "vqa_accuracy",
+           "evaluate_captions", "generate_images_for_fid",
+           "CAPTION_PROMPT", "VQA_PROMPT_SUFFIX",
+           "caption_eval_stream", "edit_eval_stream", "evaluate_vqa",
+           "iter_json_records", "load_video_frames", "sample_frames",
+           "video_eval_stream", "vqa_eval_stream"]

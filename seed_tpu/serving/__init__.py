@@ -2,7 +2,9 @@ from .conversation import (CONV_LLAMA_2, CONV_SEED_LLAMA, Conversation,
                            SeparatorStyle)
 from .engine import GenerationConfig, LlamaEngine
 from .multimodal import (ByteTextTokenizer, HFTextTokenizer, PromptTemplate,
-                         Segment, SeedLlamaInterface, image_ids_to_tokens)
+                         Segment, SeedLlamaInterface, codes_to_string,
+                         image_ids_to_tokens, segments_to_string,
+                         string_to_parts)
 from .scheduler import ContinuousBatcher, Request
 
 __all__ = [
@@ -10,5 +12,6 @@ __all__ = [
     "GenerationConfig", "LlamaEngine",
     "ByteTextTokenizer", "HFTextTokenizer", "PromptTemplate", "Segment",
     "SeedLlamaInterface", "image_ids_to_tokens",
+    "codes_to_string", "string_to_parts", "segments_to_string",
     "ContinuousBatcher", "Request",
 ]

@@ -24,8 +24,8 @@ from typing import List, Optional, Sequence, Tuple, Union
 import jax.numpy as jnp
 import numpy as np
 
-from .. import (BOI_TOKEN_ID, EOI_TOKEN_ID, IMAGE_ID_SHIFT, NUM_IMG_CODES,
-                NUM_IMG_TOKENS)
+from .. import (BOI_TOKEN, BOI_TOKEN_ID, EOI_TOKEN, EOI_TOKEN_ID, IMG_TOKEN,
+                IMAGE_ID_SHIFT, NUM_IMG_CODES, NUM_IMG_TOKENS)
 from ..models import seed_tokenizer as ST
 from .engine import GenerationConfig, LlamaEngine
 
@@ -84,6 +84,54 @@ def image_ids_to_tokens(codes: Sequence[int]) -> List[int]:
     """32 VQ codes -> [BOI, code+shift..., EOI] id segment."""
     return ([BOI_TOKEN_ID] + [int(c) + IMAGE_ID_SHIFT for c in codes]
             + [EOI_TOKEN_ID])
+
+
+# ------------------------ string-space adapter ------------------------------
+# The reference fuses modalities in STRING space: an image becomes
+# '<img><img_00042>...<img_08191></img>' spliced into the prompt text
+# (scripts/seed_llama_inference_8B.py:18-23, :100). seed_tpu fuses in id
+# space natively; these two functions are the exact string-level adapter.
+
+_IMG_CODE_RE = re.compile(r"<img_(\d{5})>")
+_IMG_BLOCK_RE = re.compile(re.escape(BOI_TOKEN) + r"((?:<img_\d{5}>)*)"
+                           + re.escape(EOI_TOKEN))
+
+
+def codes_to_string(codes: Sequence[int]) -> str:
+    """VQ codes [32] -> '<img><img_xxxxx>...</img>' (IMG_TOKEN format)."""
+    codes = np.asarray(codes).reshape(-1)
+    if not ((0 <= codes) & (codes < NUM_IMG_CODES)).all():
+        raise ValueError(f"image codes out of range [0, {NUM_IMG_CODES})")
+    return (BOI_TOKEN + "".join(IMG_TOKEN.format(int(c)) for c in codes)
+            + EOI_TOKEN)
+
+
+def string_to_parts(text: str) -> List[Union[str, np.ndarray]]:
+    """Inverse adapter: split a string containing '<img>...</img>' blocks
+    into interleaved [str | codes ndarray] parts for build_prompt()."""
+    parts: List[Union[str, np.ndarray]] = []
+    pos = 0
+    for m in _IMG_BLOCK_RE.finditer(text):
+        if m.start() > pos:
+            parts.append(text[pos:m.start()])
+        codes = np.asarray([int(c) for c in _IMG_CODE_RE.findall(m.group(1))],
+                           np.int32)
+        parts.append(codes)
+        pos = m.end()
+    if pos < len(text):
+        parts.append(text[pos:])
+    return parts
+
+
+def segments_to_string(segments: Sequence["Segment"]) -> str:
+    """Render generate() output back to the reference's string space."""
+    out = []
+    for seg in segments:
+        if seg.kind == "text":
+            out.append(seg.text or "")
+        else:
+            out.append(codes_to_string(seg.image_codes))
+    return "".join(out)
 
 
 @dataclass
@@ -154,6 +202,13 @@ class SeedLlamaInterface:
         prompt = self.build_prompt(parts)
         out = self.engine.generate([prompt], gen, seed=seed)[0]
         return self.split_output(out)
+
+    def generate_from_string(self, text: str, gen: GenerationConfig = None,
+                             seed: int = 0, force_image: bool = False) -> str:
+        """Reference string-space API: prompt with '<img><img_xxxxx>...</img>'
+        blocks in, generated string (same vocabulary) out."""
+        segs = self.generate(string_to_parts(text), gen, seed, force_image)
+        return segments_to_string(segs)
 
     def split_output(self, ids: Sequence[int]) -> List[Segment]:
         """Split generated ids at BOI/EOI boundaries

@@ -268,3 +268,103 @@ class TestSFTBuilders2:
         # with replacement: some shard repeats within any window of 4
         assert any(out[i] == out[i + 1] or out[i] == out[i + 2]
                    for i in range(50))
+
+
+class TestSFTBuilders3:
+    """The 4 decoders added in round 2 (VERDICT item 7) + full templates."""
+    tok = ByteTextTokenizer()
+
+    def test_text_conversation_masks_user_turns(self):
+        from seed_tpu.data import build_text_conversation_example
+        rec = {"data": ["hi there", "hello!", "how are you", "fine."]}
+        ex = build_text_conversation_example(rec, self.tok, max_length=128)
+        ids, labels = ex["input_ids"], ex["labels"]
+        # assistant spans supervised, user spans -100
+        a1 = self.tok.encode("hello!")
+        # find the assistant answer inside ids; its labels must equal ids
+        pos = None
+        for i in range(len(ids) - len(a1)):
+            if list(ids[i:i + len(a1)]) == a1:
+                pos = i
+                break
+        assert pos is not None
+        assert (labels[pos:pos + len(a1)] == ids[pos:pos + len(a1)]).all()
+        assert labels[1] == IGNORE_INDEX  # first user token masked
+
+    def test_text_conversation_system_message_masked(self):
+        from seed_tpu.data import build_text_conversation_example
+        rec = {"data": ["q", "a"]}
+        ex = build_text_conversation_example(
+            rec, self.tok, max_length=64, system_message="be nice")
+        n_sys = len(self.tok.encode("be nice\n"))
+        assert (ex["labels"][1:1 + n_sys] == IGNORE_INDEX).all()
+
+    def test_visual_instruction_multiturn(self):
+        from seed_tpu.data import build_visual_instruction_example
+        rec = {"image_ids": [list(range(32))],
+               "data": ["what is this", "a cat", "sure?", "yes"]}
+        ex = build_visual_instruction_example(rec, self.tok, max_length=256)
+        ids, labels = ex["input_ids"], ex["labels"]
+        assert BOI_TOKEN_ID in ids and EOI_TOKEN_ID in ids
+        # image block is in the (masked) question span
+        boi = list(ids).index(BOI_TOKEN_ID)
+        assert labels[boi] == IGNORE_INDEX
+        # answer "a cat." supervised
+        a = self.tok.encode("a cat.")
+        found = any(list(ids[i:i + len(a)]) == a
+                    and (labels[i:i + len(a)] == ids[i:i + len(a)]).all()
+                    for i in range(len(ids) - len(a)))
+        assert found
+
+    def test_visual_instruction_instruction_format(self):
+        from seed_tpu.data import build_visual_instruction_example
+        rec = {"image_ids": list(range(32)), "instruction": "describe",
+               "inputs": "", "outputs": "a dog"}
+        ex = build_visual_instruction_example(rec, self.tok, max_length=256)
+        a = self.tok.encode("a dog")
+        ids, labels = ex["input_ids"], ex["labels"]
+        found = any(list(ids[i:i + len(a)]) == a
+                    and (labels[i:i + len(a)] == ids[i:i + len(a)]).all()
+                    for i in range(len(ids) - len(a)))
+        assert found
+
+    def test_multi_edit_three_turns(self):
+        import random as _r
+        from seed_tpu.data import build_multi_edit_example
+        rec = {"image_ids": list(range(32)) * 4,
+               "instruction0": "add a hat", "instruction1": "make it red",
+               "instruction2": "remove background"}
+        ex = build_multi_edit_example(rec, self.tok, max_length=512,
+                                      rng=_r.Random(0))
+        ids, labels = ex["input_ids"], ex["labels"]
+        # 4 image blocks total: frame0 masked (question), frames 1-3 supervised
+        bois = np.nonzero(ids == BOI_TOKEN_ID)[0]
+        assert len(bois) == 4
+        assert labels[bois[0]] == IGNORE_INDEX
+        for b in bois[1:]:
+            assert labels[b] == BOI_TOKEN_ID
+
+    def test_video_conversation_multi_qa(self):
+        from seed_tpu.data import build_video_conversation_example
+        rec = {"image_ids": list(range(32)) * 4,
+               "question": "Question: what? Question: why?",
+               "answer": "Answer: a thing. Answer: because."}
+        ex = build_video_conversation_example(rec, self.tok, max_length=512)
+        ids, labels = ex["input_ids"], ex["labels"]
+        bois = np.nonzero(ids == BOI_TOKEN_ID)[0]
+        assert len(bois) == 4                      # 4 frames, first turn only
+        assert all(labels[b] == IGNORE_INDEX for b in bois)
+        a = self.tok.encode("a thing.")
+        found = any(list(ids[i:i + len(a)]) == a
+                    and (labels[i:i + len(a)] == ids[i:i + len(a)]).all()
+                    for i in range(len(ids) - len(a)))
+        assert found
+
+    def test_twenty_generation_templates(self):
+        from seed_tpu.data import GENERATION_PROMPTS, build_caption_example
+        assert len(GENERATION_PROMPTS) == 20
+        rec = {"image_ids": list(range(32)), "text": "a red fox"}
+        ex = build_caption_example(rec, self.tok, max_length=128,
+                                   reverse_ratio=0.0, mask_left_label=True,
+                                   caption_prompts=GENERATION_PROMPTS)
+        assert ex is not None
