@@ -56,6 +56,28 @@ def linear(p: Params, x: jnp.ndarray) -> jnp.ndarray:
     return y
 
 
+def linear_w8a8(p: Params, x: jnp.ndarray) -> jnp.ndarray:
+    """W8A8 linear: dynamic int8 activations x int8 weights -> int32 MXU.
+
+    v5e has 394 int8 TOPS vs 197 bf16 TFLOP/s; routing a big frozen matmul
+    here ~doubles its ceiling. Exactness: the int8 x int8 -> int32 product
+    is exact; the only error is the two absmax quantizations (per-token
+    activation row, per-output-channel weight column).
+    p: {"kernel_q": int8 [in, out], "scale": [out], "bias"?: [out]}.
+    """
+    from ..ops.quantization import quantize_acts
+    xq, xs = quantize_acts(x)
+    y = jax.lax.dot_general(
+        xq, p["kernel_q"],
+        dimension_numbers=(((xq.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32)
+    y = y.astype(jnp.float32) * xs * p["scale"].astype(jnp.float32)
+    y = y.astype(x.dtype)
+    if "bias" in p:
+        y = y + p["bias"].astype(y.dtype)
+    return y
+
+
 def layer_norm(p: Params, x: jnp.ndarray, eps: float = 1e-5) -> jnp.ndarray:
     orig = x.dtype
     x = x.astype(jnp.float32)

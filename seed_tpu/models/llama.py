@@ -80,27 +80,59 @@ class KVCache(NamedTuple):
     conservatively double-buffers them — measured +1x cache HBM inside
     ``decode_loop`` (nested scan) at every probe shape, and 0 bytes with
     the fused layout. Fusing also halves the number of HBM streams the
-    decode attention touches."""
-    kv: jnp.ndarray       # [L, B, S_max, H_kv, 2*D]
+    decode attention touches.
+
+    int8 mode (``init_cache(dtype=jnp.int8)``): kv holds int8 codes and
+    ``scale`` holds per-(token, head, k|v-half) fp32 absmax scales — the
+    decode-attention HBM bound halves and the same HBM fits a 2x larger
+    batch or context. The int8<->bf16 converts ride the attention matmul
+    (VPU work hidden under the HBM stream)."""
+    kv: jnp.ndarray       # [L, B, S_max, H_kv, 2*D] bf16 — or int8 codes
     valid: jnp.ndarray    # [B, S_max] bool — slots holding real tokens
     index: jnp.ndarray    # scalar int32: write cursor (tokens written so far)
+    scale: Optional[jnp.ndarray] = None  # [L, B, S_max, H_kv, 2] f32 (int8)
 
     @property
     def k(self) -> jnp.ndarray:   # convenience views (tests/debug)
-        return self.kv[..., : self.kv.shape[-1] // 2]
+        return _cache_kv_dequant(self.kv, self.scale)[0]
 
     @property
     def v(self) -> jnp.ndarray:
-        return self.kv[..., self.kv.shape[-1] // 2:]
+        return _cache_kv_dequant(self.kv, self.scale)[1]
+
+
+def _cache_kv_quant(kv: jnp.ndarray):
+    """[..., 2*D] float k|v -> (int8 codes, [..., 2] f32 scales): separate
+    per-vector absmax for the k and v halves."""
+    D2 = kv.shape[-1]
+    halves = kv.astype(jnp.float32).reshape(*kv.shape[:-1], 2, D2 // 2)
+    absmax = jnp.max(jnp.abs(halves), axis=-1)                # [..., 2]
+    scale = jnp.maximum(absmax, 1e-8) / 127.0
+    q = jnp.clip(jnp.round(halves / scale[..., None]), -127, 127)
+    return q.astype(jnp.int8).reshape(kv.shape), scale
+
+
+def _cache_kv_dequant(kv: jnp.ndarray, scale: Optional[jnp.ndarray],
+                      dtype=jnp.bfloat16):
+    """Fused cache buffer (+ scales when int8) -> (k, v) in ``dtype``."""
+    hd = kv.shape[-1] // 2
+    if scale is None:
+        return kv[..., :hd].astype(dtype), kv[..., hd:].astype(dtype)
+    k = kv[..., :hd].astype(jnp.float32) * scale[..., 0:1]
+    v = kv[..., hd:].astype(jnp.float32) * scale[..., 1:2]
+    return k.astype(dtype), v.astype(dtype)
 
 
 def init_cache(cfg: LlamaConfig, batch: int, max_len: Optional[int] = None,
                dtype=jnp.bfloat16) -> KVCache:
     S = max_len or cfg.max_seq_len
     shape = (cfg.layers, batch, S, cfg.kv_heads, 2 * cfg.head_dim)
+    scale = None
+    if dtype == jnp.int8:
+        scale = jnp.zeros(shape[:-1] + (2,), jnp.float32)
     return KVCache(jnp.zeros(shape, dtype),
                    jnp.zeros((batch, S), jnp.bool_),
-                   jnp.zeros((), jnp.int32))
+                   jnp.zeros((), jnp.int32), scale)
 
 
 # ------------------------------ init --------------------------------------
@@ -181,12 +213,19 @@ def _layer_apply(p, x, positions, mask, cfg: LlamaConfig,
 
     new_cache = None
     if layer_cache is not None:
-        ckv = layer_cache                       # [B, S, H_kv, 2D] fused
-        kv_new = jnp.concatenate([k, v], axis=-1).astype(ckv.dtype)
-        ckv = jax.lax.dynamic_update_slice(ckv, kv_new, (0, cache_index, 0, 0))
-        k = ckv[..., :hd].astype(q.dtype)
-        v = ckv[..., hd:].astype(q.dtype)
-        new_cache = ckv
+        ckv, cscale = layer_cache               # [B, S, H_kv, 2D] fused
+        kv_new = jnp.concatenate([k, v], axis=-1)
+        if cscale is not None:                  # int8 cache: quantize write
+            kv_q, sc_new = _cache_kv_quant(kv_new)
+            ckv = jax.lax.dynamic_update_slice(ckv, kv_q,
+                                               (0, cache_index, 0, 0))
+            cscale = jax.lax.dynamic_update_slice(cscale, sc_new,
+                                                  (0, cache_index, 0, 0))
+        else:
+            ckv = jax.lax.dynamic_update_slice(
+                ckv, kv_new.astype(ckv.dtype), (0, cache_index, 0, 0))
+        k, v = _cache_kv_dequant(ckv, cscale, q.dtype)
+        new_cache = (ckv, cscale)
 
     if use_flash and layer_cache is None:
         # training path: Pallas flash attention (O(S) memory). Right-padded
@@ -285,20 +324,41 @@ def prefill(params, input_ids: jnp.ndarray, cache: KVCache,
     # Two separate k/v carry buffers (or xs/ys stacking) each cost an extra
     # full cache copy in HBM — see KVCache docstring / PERF.md.
     L_ = cache.kv.shape[0]
+    quantized = cache.scale is not None
 
-    def step(carry, inputs):
-        h, kv_all = carry
-        lp, i = inputs
-        h, ckv = _layer_apply(lp, h, positions, mask, cfg,
-                              layer_cache=kv_all[i],
-                              cache_index=cache.index)
-        kv_all = jax.lax.dynamic_update_index_in_dim(kv_all, ckv, i, 0)
-        return (h, kv_all), None
+    if quantized:
+        def step(carry, inputs):
+            h, kv_all, sc_all = carry
+            lp, i = inputs
+            h, (ckv, csc) = _layer_apply(
+                lp, h, positions, mask, cfg,
+                layer_cache=(kv_all[i], sc_all[i]),
+                cache_index=cache.index)
+            kv_all = jax.lax.dynamic_update_index_in_dim(kv_all, ckv, i, 0)
+            sc_all = jax.lax.dynamic_update_index_in_dim(sc_all, csc, i, 0)
+            return (h, kv_all, sc_all), None
 
-    (x, kv_new), _ = jax.lax.scan(
-        step, (x, cache.kv),
-        (params["layers"], jnp.arange(L_, dtype=jnp.int32)))
-    new_cache = KVCache(kv_new, new_valid, cache.index + N)
+        (x, kv_new, sc_new), _ = jax.lax.scan(
+            step, (x, cache.kv, cache.scale),
+            (params["layers"], jnp.arange(L_, dtype=jnp.int32)))
+        new_cache = KVCache(kv_new, new_valid, cache.index + N, sc_new)
+    else:
+        # bf16 path keeps the EXACT round-1 two-element carry: adding even
+        # a dummy third carry was measured to break XLA's in-place cache
+        # aliasing in the nested decode_loop scan (7.5x decode regression)
+        def step(carry, inputs):
+            h, kv_all = carry
+            lp, i = inputs
+            h, (ckv, _) = _layer_apply(lp, h, positions, mask, cfg,
+                                       layer_cache=(kv_all[i], None),
+                                       cache_index=cache.index)
+            kv_all = jax.lax.dynamic_update_index_in_dim(kv_all, ckv, i, 0)
+            return (h, kv_all), None
+
+        (x, kv_new), _ = jax.lax.scan(
+            step, (x, cache.kv),
+            (params["layers"], jnp.arange(L_, dtype=jnp.int32)))
+        new_cache = KVCache(kv_new, new_valid, cache.index + N, None)
     return _logits(params, x, cfg), new_cache
 
 

@@ -131,6 +131,25 @@ def init_seed_tokenizer(key, cfg: SeedTokenizerConfig = SEED_TOKENIZER,
     return params
 
 
+def quantize_for_serving(params, cfg: SeedTokenizerConfig):
+    """bf16/fp32 tokenizer -> W8A8 int8 encoder serving variant.
+
+    Quantizes the four hot matmuls of every EVA-ViT block to int8 weights
+    (per-output-channel absmax) and flips ``cfg.vit.w8a8`` so block_apply
+    routes them through the int8 MXU path (2x bf16 TOPS on v5e — the
+    reference's 8-bit serving mode, configs/llm/seed_llama_8b_8bit.yaml,
+    applied to the encoder). Q-Former, VQ distances, norms and the decode
+    path are untouched, so token-id drift comes only from the ViT features.
+    Returns (quantized_params, new_cfg).
+    """
+    import dataclasses
+    from ..ops.quantization import VIT_TARGETS, quantize_tree
+    new = dict(params)
+    new["vit"] = quantize_tree(params["vit"], VIT_TARGETS)
+    return new, dataclasses.replace(
+        cfg, vit=dataclasses.replace(cfg.vit, w8a8=True))
+
+
 # ------------------------------ encode -------------------------------------
 
 def encode_features(params, images: jnp.ndarray,

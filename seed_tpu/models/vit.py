@@ -44,6 +44,11 @@ class ViTConfig:
     ln_pre: bool = False        # CLIP-style pre-transformer LayerNorm
     patch_bias: bool = True
     channels: int = 3
+    # W8A8 int8 serving for the frozen encoder: block matmuls whose params
+    # were quantized (ops/quantization.quantize_tree with VIT_TARGETS) run
+    # int8 x int8 -> int32 on the MXU (2x bf16 TOPS on v5e). Norms,
+    # attention softmax paths, patch embed stay bf16/fp32.
+    w8a8: bool = False
 
     @property
     def num_patches(self) -> int:
@@ -129,6 +134,12 @@ def patchify(x: jnp.ndarray, patch: int) -> jnp.ndarray:
     return x.reshape(B, gh * gw, patch * patch * C)
 
 
+def _lin(p, x: jnp.ndarray, cfg: ViTConfig) -> jnp.ndarray:
+    if cfg.w8a8 and "kernel_q" in p:
+        return L.linear_w8a8(p, x)
+    return L.linear(p, x)
+
+
 def block_apply(p, x: jnp.ndarray, cfg: ViTConfig) -> jnp.ndarray:
     """Pre-norm transformer block (eva_vit.py Block.forward semantics)."""
     B, N, D = x.shape
@@ -136,10 +147,8 @@ def block_apply(p, x: jnp.ndarray, cfg: ViTConfig) -> jnp.ndarray:
     act = _act(cfg)
 
     h = L.layer_norm(p["norm1"], x, cfg.ln_eps)
-    qkv = h @ p["attn"]["qkv"]["kernel"].astype(h.dtype)
-    if "bias" in p["attn"]["qkv"]:
-        qkv = qkv + p["attn"]["qkv"]["bias"].astype(qkv.dtype)
-    elif "q_bias" in p["attn"]:
+    qkv = _lin(p["attn"]["qkv"], h, cfg)  # adds the full bias if present
+    if "q_bias" in p["attn"]:
         # EVA: bias on q and v only; k bias fixed at zero (eva_vit.py:136-139)
         bias = jnp.concatenate([p["attn"]["q_bias"],
                                 jnp.zeros_like(p["attn"]["q_bias"]),
@@ -150,10 +159,10 @@ def block_apply(p, x: jnp.ndarray, cfg: ViTConfig) -> jnp.ndarray:
     k = k.reshape(B, N, H, hd)
     v = v.reshape(B, N, H, hd)
     o = mha(q, k, v).reshape(B, N, D)
-    x = x + L.linear(p["attn"]["proj"], o)
+    x = x + _lin(p["attn"]["proj"], o, cfg)
 
     h = L.layer_norm(p["norm2"], x, cfg.ln_eps)
-    h = L.linear(p["mlp"]["fc2"], act(L.linear(p["mlp"]["fc1"], h)))
+    h = _lin(p["mlp"]["fc2"], act(_lin(p["mlp"]["fc1"], h, cfg)), cfg)
     return x + h
 
 

@@ -40,6 +40,27 @@ def dequantize_weight(p: dict) -> jnp.ndarray:
     return p["kernel_q"].astype(jnp.float32) * p["scale"][..., None, :]
 
 
+def quantize_acts(x: jnp.ndarray, axis: int = -1):
+    """Dynamic per-token absmax int8 activation quantization.
+
+    Returns (q int8, scale fp32 with ``axis`` kept at size 1). Used by the
+    W8A8 path (layers.linear_w8a8): on v5e the int8 MXU path has 2x the
+    bf16 TOPS (394 vs 197), so quantizing the *activations* of big frozen
+    matmuls (the EVA-ViT encoder — reference 8-bit serving,
+    configs/llm/seed_llama_8b_8bit.yaml) roughly doubles encode throughput.
+    The quantize/dequantize VPU work fuses into the surrounding ops."""
+    xf = x.astype(jnp.float32)
+    absmax = jnp.max(jnp.abs(xf), axis=axis, keepdims=True)
+    scale = jnp.maximum(absmax, 1e-8) / 127.0
+    q = jnp.clip(jnp.round(xf / scale), -127, 127).astype(jnp.int8)
+    return q, scale
+
+
+# the four hot matmuls of every stacked ViT block (qkv/proj/fc1/fc2);
+# patch_embed (one thin K=588 matmul) and all norms/VQ stay high precision
+VIT_TARGETS = r"blocks/(attn/(qkv|proj)|mlp/fc[12])/kernel$"
+
+
 def quantize_tree(params: Any, targets: str = DEFAULT_TARGETS) -> Any:
     """Quantize all kernels whose path matches ``targets``; bias and other
     leaves pass through. Works on stacked [L, in, out] kernels."""
