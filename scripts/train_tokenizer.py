@@ -60,7 +60,8 @@ def main():
     from seed_tpu.train.optim import masked_trainable
     from seed_tpu.train.tokenizer_training import (
         STAGE1_TRAINABLE, STAGE2_TRAINABLE, Stage1Config, Stage2Config,
-        init_stage1_head, stage1_loss, stage2_loss_scalar)
+        init_itm_head, init_stage1_head, stage1_total_loss,
+        stage2_loss_scalar)
     from seed_tpu.utils.checkpoint import (CheckpointManager, filter_tree,
                                            merge_tree, restore_checkpoint)
 
@@ -92,12 +93,18 @@ def main():
     mesh = auto_mesh()
 
     if args.stage == 1:
+        from seed_tpu.models.qformer import init_lm_head
         s1 = Stage1Config(tokenizer=tok_cfg)
         params = {"tokenizer": tok_params,
-                  "head": init_stage1_head(jax.random.fold_in(key, 1), s1)}
+                  "head": init_stage1_head(jax.random.fold_in(key, 1), s1),
+                  "itm_head": init_itm_head(jax.random.fold_in(key, 3), s1),
+                  "lm_head": init_lm_head(jax.random.fold_in(key, 4),
+                                          tok_cfg.qformer)}
 
         def loss_fn(p, batch, rng):
-            return stage1_loss(p, batch, rng, s1)
+            # joint ITC + ITM (sim-weighted hard negatives) + caption LM
+            # (blip2_qformer_casual.py:199-296)
+            return stage1_total_loss(p, batch, rng, s1)[0]
         trainable_pat = STAGE1_TRAINABLE
     else:
         s2 = Stage2Config(tokenizer=tok_cfg)

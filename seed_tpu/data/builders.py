@@ -176,6 +176,81 @@ def build_interleaved_example(
             "labels": np.asarray(labels, np.int32)}
 
 
+def match_interleaved_images(
+    record: Dict[str, Any],
+    *,
+    sim_threshold: float = 0.24,
+    min_kb: int = 10,
+    max_images: int = 5,
+    single_image_keep: float = 0.5,
+    rng: Optional[random.Random] = None,
+) -> Optional[Dict[str, List]]:
+    """Raw-MMC4 CLIP-similarity matching (OpenFlamingo path,
+    MultiModalLLM/src/data/data.py:265-334): each document carries
+    ``text_list`` plus ``image_info`` with per-image CLIP ``matched_sim``
+    and ``matched_text_index``. Filters (>= min_kb bytes, sim >= threshold,
+    cap at ``max_images``), inserts each surviving image immediately before
+    its matched sentence, drops image-free docs and (at 50%) single-image
+    docs.
+
+    record = {"text_list": [str, ...],
+              "image_info": [{"image_base64" | "image_bytes" | "image",
+                              "matched_text_index": int,
+                              "matched_sim": float}, ...]}
+    Returns interleaved parallel lists {"images": [...], "texts": [...]}
+    (exactly one of images[i]/texts[i] set — the build_interleaved_example
+    contract once images are tokenized to ids), or None when rejected.
+    """
+    import base64
+    import io
+
+    rng = rng or random
+    sentences = list(record["text_list"])
+    matched: List[tuple] = []
+    for info in record.get("image_info", []):
+        raw = None
+        if "image_base64" in info:
+            raw = base64.b64decode(info["image_base64"])
+        elif "image_bytes" in info:
+            raw = info["image_bytes"]
+        if raw is not None:
+            if len(raw) // 1000 <= min_kb:      # >=10KB filter (:276-277)
+                continue
+        if float(info.get("matched_sim", 1.0)) < sim_threshold:  # (:279)
+            continue
+        if raw is not None:
+            from PIL import Image
+            img = Image.open(io.BytesIO(raw))
+            if img.mode == "P" and "transparency" in img.info:  # (:286-291)
+                try:
+                    img = img.convert("RGBA")
+                except ValueError:
+                    pass
+            img = np.asarray(img.convert("RGB"))
+        else:
+            img = np.asarray(info["image"])
+        matched.append((int(info["matched_text_index"]), img))
+        if len(matched) >= max_images:          # cap at 5 (:299-301)
+            break
+    if not matched:
+        return None                             # no images (:294-295)
+    if len(matched) == 1 and rng.random() > single_image_keep:
+        return None                             # 50% single-image drop (:328)
+
+    by_sentence: Dict[int, List[np.ndarray]] = {}
+    for ix, img in matched:
+        by_sentence.setdefault(ix, []).append(img)
+    images: List = []
+    texts: List = []
+    for ix, sent in enumerate(sentences):
+        for img in by_sentence.get(ix, []):     # image before sentence (:310)
+            images.append(img)
+            texts.append(None)
+        images.append(None)
+        texts.append(sent)
+    return {"images": images, "texts": texts}
+
+
 def build_video_example(
     record: Dict[str, Any],
     text_tokenizer,

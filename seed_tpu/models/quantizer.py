@@ -68,6 +68,50 @@ def lookup(params, indices: jnp.ndarray) -> jnp.ndarray:
     return jnp.take(params["codebook"], indices, axis=0, mode="clip")
 
 
+# ---- Gumbel-softmax quantizer (GumbelQuantize training variant,
+#      SEED_Tokenizer/lavis/models/quantize_semantic.py:110-199) ------------
+
+def init_gumbel(key, n_codes: int, dim: int, in_dim: int, dtype=jnp.float32):
+    """proj (features -> code logits, the 1x1-conv equivalent) + codebook."""
+    k1, k2 = jax.random.split(key)
+    std = 1.0 / jnp.sqrt(in_dim)
+    proj = (jax.random.truncated_normal(k1, -2, 2, (in_dim, n_codes)) * std)
+    e = jax.random.normal(k2, (n_codes, dim)) * 0.02
+    return {"proj": {"kernel": proj.astype(dtype),
+                     "bias": jnp.zeros((n_codes,), dtype)},
+            "codebook": e.astype(dtype)}
+
+
+def gumbel_quantize(params, z: jnp.ndarray, rng, temp: float = 1.0,
+                    kl_weight: float = 5e-4, hard: bool = True) -> VQResult:
+    """Gumbel-softmax categorical reparameterization (Jang et al. 2016).
+
+    z [..., in_dim] -> logits over codes -> gumbel-softmax sample ->
+    z_q = onehot @ codebook (straight-through when ``hard``), plus the
+    KL-to-uniform-prior regularizer (quantize_semantic.py:188-190). In
+    eval, pass hard=True and rng=None for a deterministic argmax."""
+    logits = (z.astype(jnp.float32) @ params["proj"]["kernel"].astype(jnp.float32)
+              + params["proj"]["bias"].astype(jnp.float32))
+    if rng is not None:
+        g = -jnp.log(-jnp.log(
+            jax.random.uniform(rng, logits.shape, minval=1e-10, maxval=1.0)))
+        y_soft = jax.nn.softmax((logits + g) / temp, axis=-1)
+    else:
+        y_soft = jax.nn.softmax(logits / temp, axis=-1)
+    idx = jnp.argmax(y_soft, axis=-1).astype(jnp.int32)
+    if hard:
+        one_hot = jax.nn.one_hot(idx, logits.shape[-1], dtype=y_soft.dtype)
+        y = y_soft + jax.lax.stop_gradient(one_hot - y_soft)  # ST estimator
+    else:
+        y = y_soft
+    z_q = (y @ params["codebook"].astype(jnp.float32)).astype(z.dtype)
+    qy = jax.nn.softmax(logits, axis=-1)
+    n = logits.shape[-1]
+    kl = kl_weight * jnp.mean(
+        jnp.sum(qy * jnp.log(qy * n + 1e-10), axis=-1))
+    return VQResult(z_q, idx, kl)
+
+
 # ---- EMA codebook (NormEMAVectorQuantizer of the experimental DVM path,
 #      MultiModalLLM/src/tokenizer/.../quantizer.py:178-231) ----------------
 

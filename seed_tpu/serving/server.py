@@ -19,7 +19,9 @@ from __future__ import annotations
 import base64
 import io
 import json
+import os
 import threading
+import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import Any, Dict, List, Optional
 
@@ -154,8 +156,26 @@ class GenerateService:
                 "error_msg": error_msg}
 
 
+def vote_log_path(log_dir: str) -> str:
+    """Daily conversation/vote log file (gradio_demo get_conv_log_filename
+    semantics: one JSON-lines file per UTC day)."""
+    import datetime
+    name = datetime.datetime.utcnow().strftime("%Y-%m-%d-conv.json")
+    return os.path.join(log_dir, name)
+
+
+def record_vote(log_dir: str, vote_type: str, state, ip: str = "") -> None:
+    """Append one vote record (gradio_demo/seed_llama_gradio.py:139-148)."""
+    os.makedirs(log_dir, exist_ok=True)
+    data = {"tstamp": round(time.time(), 4), "type": vote_type,
+            "state": state, "ip": ip}
+    with open(vote_log_path(log_dir), "a") as f:
+        f.write(json.dumps(data) + "\n")
+
+
 def make_server(service: GenerateService, host: str = "0.0.0.0",
-                port: int = 7890) -> ThreadingHTTPServer:
+                port: int = 7890,
+                log_dir: Optional[str] = None) -> ThreadingHTTPServer:
     class Handler(BaseHTTPRequestHandler):
         def do_GET(self):
             if self.path in ("/", "/index.html"):
@@ -170,7 +190,27 @@ def make_server(service: GenerateService, host: str = "0.0.0.0",
                 self.send_error(404)
 
         def do_POST(self):
-            if self.path.rstrip("/") != "/generate":
+            path = self.path.rstrip("/")
+            if path == "/vote":
+                length = int(self.headers.get("Content-Length", 0))
+                try:
+                    req = json.loads(self.rfile.read(length))
+                    record_vote(log_dir or "serving_logs",
+                                str(req.get("type", "common")),
+                                req.get("state"),
+                                ip=self.client_address[0])
+                    body = json.dumps({"ok": True}).encode()
+                    self.send_response(200)
+                except Exception as e:
+                    body = json.dumps({"ok": False,
+                                       "error_msg": [repr(e)]}).encode()
+                    self.send_response(500)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+                return
+            if path != "/generate":
                 self.send_error(404)
                 return
             length = int(self.headers.get("Content-Length", 0))

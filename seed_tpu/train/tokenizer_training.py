@@ -92,28 +92,55 @@ def init_itm_head(key, cfg: Stage1Config, dtype=jnp.float32):
 
 
 def stage1_itm_loss(tok_params, itm_head, images, text_ids, text_pad,
-                    cfg: Stage1Config, rng):
-    """ITM with in-batch hard negatives: positive pairs + rolled negatives
-    (a simplification of the sim-weighted sampling, :219-241 — rolled
-    negatives are the standard fallback and keep the loss jit-pure)."""
+                    cfg: Stage1Config, rng, sim_feats=None):
+    """ITM with in-batch hard negatives (blip2_qformer_casual.py:204-272).
+
+    ``sim_feats`` = (img_f, txt_f) normalized contrastive features (from
+    ``stage1_features``): negatives are then *similarity-weighted* — each
+    image draws a hard negative text (and each text a hard negative image)
+    with probability softmax(sim) over the batch, diagonal masked
+    (:219-241), all in-graph via jax.random.categorical. Without
+    ``sim_feats`` falls back to rolled negatives (the cheap variant)."""
     tcfg = cfg.tokenizer
     sg = jax.lax.stop_gradient
     feats = sg(vit_apply(tok_params["vit"], images, tcfg.vit))
     feats = L.layer_norm(tok_params["ln_vision"], feats)
-    B = images.shape[0]
-    neg_text = jnp.roll(text_ids, 1, axis=0)
-    neg_pad = jnp.roll(text_pad, 1, axis=0) if text_pad is not None else None
+    return _itm_from_feats(tok_params, itm_head, feats, text_ids, text_pad,
+                           cfg, rng, sim_feats)
 
-    def joint_last_query(t_ids, t_pad):
-        h = qformer_apply(tok_params["qformer"], feats, tcfg.qformer,
+
+def _itm_from_feats(tok_params, itm_head, feats, text_ids, text_pad,
+                    cfg: Stage1Config, rng, sim_feats=None):
+    tcfg = cfg.tokenizer
+    sg = jax.lax.stop_gradient
+    B = feats.shape[0]
+    if sim_feats is not None:
+        img_f, txt_f = (sg(f.astype(jnp.float32)) for f in sim_feats)
+        sim = img_f @ txt_f.T                      # [B, B] rows: image->text
+        diag = jnp.eye(B, dtype=bool)
+        masked = jnp.where(diag, -jnp.inf, sim)
+        k_t, k_i = jax.random.split(rng)
+        # per image: a hard negative TEXT; per text: a hard negative IMAGE
+        neg_txt_idx = jax.random.categorical(k_t, masked / 0.07, axis=1)
+        neg_img_idx = jax.random.categorical(k_i, masked.T / 0.07, axis=1)
+    else:
+        neg_txt_idx = jnp.roll(jnp.arange(B), 1)
+        neg_img_idx = jnp.roll(jnp.arange(B), -1)
+    neg_text = text_ids[neg_txt_idx]
+    neg_pad = text_pad[neg_txt_idx] if text_pad is not None else None
+
+    def joint_last_query(img_feats, t_ids, t_pad):
+        h = qformer_apply(tok_params["qformer"], img_feats, tcfg.qformer,
                           text_ids=t_ids, text_pad=t_pad)
         return h[:, tcfg.qformer.query_len - 1]   # last query token (:252)
 
-    pos = L.linear(itm_head, joint_last_query(text_ids, text_pad))
-    neg = L.linear(itm_head, joint_last_query(neg_text, neg_pad))
-    logits = jnp.concatenate([pos, neg], axis=0).astype(jnp.float32)
+    pos = L.linear(itm_head, joint_last_query(feats, text_ids, text_pad))
+    neg_t = L.linear(itm_head, joint_last_query(feats, neg_text, neg_pad))
+    neg_i = L.linear(itm_head,
+                     joint_last_query(feats[neg_img_idx], text_ids, text_pad))
+    logits = jnp.concatenate([pos, neg_t, neg_i], axis=0).astype(jnp.float32)
     labels = jnp.concatenate([jnp.ones((B,), jnp.int32),
-                              jnp.zeros((B,), jnp.int32)])
+                              jnp.zeros((2 * B,), jnp.int32)])
     logp = jax.nn.log_softmax(logits, axis=-1)
     return -jnp.mean(jnp.take_along_axis(logp, labels[:, None], 1))
 
@@ -135,6 +162,55 @@ def stage1_caption_loss(tok_params, lm_head, images, text_ids, text_pad,
     labels = jnp.where(text_pad.astype(bool), text_ids, -100) \
         if text_pad is not None else text_ids
     return cross_entropy(logits[:, :-1], labels[:, 1:])
+
+
+def stage1_total_loss(params, batch, rng, cfg: Stage1Config,
+                      axis_name: Optional[str] = None,
+                      w_itc: float = 1.0, w_itm: float = 1.0,
+                      w_lm: float = 1.0
+                      ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
+    """Joint stage-1 objective: ITC + ITM + captioning LM — the reference
+    trains all three in one forward (blip2_qformer_casual.py:199-296
+    ``loss_itc + loss_itm + loss_lm``). The frozen ViT runs ONCE; ITM uses
+    similarity-weighted hard negatives from the ITC features.
+
+    params: {"tokenizer", "head", "itm_head", "lm_head"};
+    batch: {"images", "text_ids", "text_pad"}. Returns (loss, metrics)."""
+    from ..models.qformer import lm_head_apply, qformer_caption_apply
+    from .losses import cross_entropy
+    tok = params["tokenizer"]
+    tcfg = cfg.tokenizer
+    sg = jax.lax.stop_gradient
+    images, text_ids = batch["images"], batch["text_ids"]
+    text_pad = batch.get("text_pad")
+
+    feats = sg(vit_apply(tok["vit"], images, tcfg.vit))
+    feats = L.layer_norm(tok["ln_vision"], feats)
+
+    q = qformer_apply(tok["qformer"], feats, tcfg.qformer)
+    img_f = L.linear(params["head"]["vision_proj"], q[:, -1])
+    img_f = img_f / (jnp.linalg.norm(img_f, axis=-1, keepdims=True) + 1e-8)
+    t = qformer_text_apply(tok["qformer"], text_ids, tcfg.qformer, text_pad)
+    txt_f = L.linear(params["head"]["text_proj"], t[:, 0])
+    txt_f = txt_f / (jnp.linalg.norm(txt_f, axis=-1, keepdims=True) + 1e-8)
+    temp = jnp.clip(params["head"]["temp"], 0.001, 0.5)
+    loss_itc = info_nce(img_f, txt_f, temp, axis_name=axis_name,
+                        label_smoothing=cfg.label_smoothing)
+
+    loss_itm = _itm_from_feats(tok, params["itm_head"], feats, text_ids,
+                               text_pad, cfg, rng, sim_feats=(img_f, txt_f))
+
+    hidden = qformer_caption_apply(tok["qformer"], feats, text_ids,
+                                   tcfg.qformer, text_pad)
+    logits = lm_head_apply(params["lm_head"],
+                           tok["qformer"]["embeddings"]["word_embeddings"],
+                           hidden, tcfg.qformer)
+    labels = jnp.where(text_pad.astype(bool), text_ids, -100) \
+        if text_pad is not None else text_ids
+    loss_lm = cross_entropy(logits[:, :-1], labels[:, 1:])
+
+    total = w_itc * loss_itc + w_itm * loss_itm + w_lm * loss_lm
+    return total, {"itc": loss_itc, "itm": loss_itm, "lm": loss_lm}
 
 
 # --------------------------- stage 2 ---------------------------------------
@@ -202,9 +278,9 @@ def stage2_loss_scalar(params, batch, rng, cfg: Stage2Config) -> jnp.ndarray:
 # (runner_base.py:411-434 semantics) and the optimizer freeze mask
 # (optim.masked_trainable). Segment-anchored so e.g. "vit/blocks" does not
 # match the stage-2 "blocks" recon stack.
-# Stage 1 trains Q-Former + ln_vision + projection heads (only the ViT
-# forward is no-grad, blip2_qformer_casual.py:121-124).
-STAGE1_TRAINABLE = r"(^|/)(qformer|ln_vision|head)(/|$)"
+# Stage 1 trains Q-Former + ln_vision + projection/ITM/LM heads (only the
+# ViT forward is no-grad, blip2_qformer_casual.py:121-124).
+STAGE1_TRAINABLE = r"(^|/)(qformer|ln_vision|head|itm_head|lm_head)(/|$)"
 STAGE2_TRAINABLE = (r"^(encode_task|decode_task|vq|pos_embed|blocks|"
                     r"pos_embed_image|blocks_image|image_down|"
                     r"reverse_qformer|distill_image_proj)(/|$)")

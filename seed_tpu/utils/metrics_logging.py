@@ -17,6 +17,33 @@ from typing import Dict, Iterable, Optional
 import numpy as np
 
 
+def build_logger(logger_name: str, logger_dir: str):
+    """Serving/demo logger with a daily-rotating file shared by all loggers
+    (gradio_demo/utils.py:10-49 build_logger): one
+    TimedRotatingFileHandler(when='D', utc=True) per process, attached to
+    the root so every module's records land in the same file."""
+    import logging
+    import logging.handlers
+    formatter = logging.Formatter(
+        fmt="%(asctime)s | %(levelname)s | %(name)s | %(message)s",
+        datefmt="%Y-%m-%d %H:%M:%S")
+    root = logging.getLogger()
+    if not root.handlers:
+        logging.basicConfig(level=logging.INFO)
+    root.handlers[0].setFormatter(formatter)
+    logger = logging.getLogger(logger_name)
+    logger.setLevel(logging.INFO)
+    if not any(isinstance(h, logging.handlers.TimedRotatingFileHandler)
+               for h in root.handlers):
+        os.makedirs(logger_dir, exist_ok=True)
+        fh = logging.handlers.TimedRotatingFileHandler(
+            os.path.join(logger_dir, logger_name + ".log"),
+            when="D", utc=True)
+        fh.setFormatter(formatter)
+        root.addHandler(fh)
+    return logger
+
+
 class SmoothedValue:
     """Windowed median/avg meter (logger.py SmoothedValue)."""
 

@@ -181,6 +181,59 @@ class TestMoreBuilders:
         rec = {"image_ids": [list(range(32))], "texts": ["both set"]}
         assert build_interleaved_example(rec, self.TOK) is None
 
+    def test_match_interleaved_sim_filter_and_placement(self):
+        import random
+        from seed_tpu.data.builders import match_interleaved_images
+        img = np.zeros((8, 8, 3), np.uint8)
+        rec = {"text_list": ["s0", "s1", "s2"],
+               "image_info": [
+                   {"image": img, "matched_text_index": 1,
+                    "matched_sim": 0.5},
+                   {"image": img + 1, "matched_text_index": 2,
+                    "matched_sim": 0.1},   # below threshold -> dropped
+               ]}
+        out = match_interleaved_images(rec, sim_threshold=0.24,
+                                       rng=random.Random(3))
+        if out is None:   # single surviving image: 50% drop — force keep
+            out = match_interleaved_images(rec, sim_threshold=0.24,
+                                           single_image_keep=1.0,
+                                           rng=random.Random(3))
+        assert out is not None
+        # the surviving image sits immediately before sentence 1
+        slots = [("img" if i is not None else t)
+                 for i, t in zip(out["images"], out["texts"])]
+        assert slots == ["s0", "img", "s1", "s2"]
+        # exactly-one-set contract for build_interleaved_example
+        assert all((i is None) != (t is None)
+                   for i, t in zip(out["images"], out["texts"]))
+
+    def test_match_interleaved_rejects_imageless_and_caps(self):
+        import random
+        from seed_tpu.data.builders import match_interleaved_images
+        img = np.zeros((4, 4, 3), np.uint8)
+        assert match_interleaved_images(
+            {"text_list": ["a"], "image_info": []},
+            rng=random.Random(0)) is None
+        rec = {"text_list": ["a"],
+               "image_info": [{"image": img, "matched_text_index": 0,
+                               "matched_sim": 0.9}] * 8}
+        out = match_interleaved_images(rec, max_images=5,
+                                       rng=random.Random(0))
+        assert sum(i is not None for i in out["images"]) == 5
+
+    def test_match_interleaved_min_kb_filter(self):
+        import io
+        import random
+        from PIL import Image
+        from seed_tpu.data.builders import match_interleaved_images
+        buf = io.BytesIO()
+        Image.new("RGB", (4, 4)).save(buf, format="PNG")   # tiny: < 10KB
+        rec = {"text_list": ["a"],
+               "image_info": [{"image_bytes": buf.getvalue(),
+                               "matched_text_index": 0,
+                               "matched_sim": 0.9}]}
+        assert match_interleaved_images(rec, rng=random.Random(0)) is None
+
     def test_video_flat_frames(self):
         from seed_tpu.data.builders import build_video_example
         rec = {"image_ids": list(range(128)), "answer": "a moving cat"}

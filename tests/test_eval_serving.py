@@ -119,6 +119,30 @@ class TestGenerateService:
         finally:
             server.shutdown()
 
+    def test_vote_route_logs_jsonl(self, service, tmp_path):
+        import urllib.request
+        server = make_server(service, host="127.0.0.1", port=0,
+                             log_dir=str(tmp_path))
+        port = server.server_address[1]
+        t = threading.Thread(target=server.serve_forever, daemon=True)
+        t.start()
+        try:
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{port}/vote",
+                data=json.dumps({"type": "upvote",
+                                 "state": {"messages": ["hi"]}}).encode(),
+                headers={"Content-Type": "application/json"})
+            with urllib.request.urlopen(req, timeout=30) as r:
+                assert json.loads(r.read())["ok"]
+        finally:
+            server.shutdown()
+        logs = list(tmp_path.glob("*-conv.json"))
+        assert len(logs) == 1
+        rec = json.loads(logs[0].read_text().strip())
+        assert rec["type"] == "upvote"
+        assert rec["state"] == {"messages": ["hi"]}
+        assert "tstamp" in rec and "ip" in rec
+
     def test_b64_helpers_roundtrip(self):
         img = np.random.RandomState(0).rand(8, 8, 3).astype(np.float32)
         b64 = encode_image_b64(img)

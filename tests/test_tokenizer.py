@@ -152,6 +152,41 @@ class TestVQ:
         assert (i32 == ib16).mean() == 1.0
 
 
+class TestGumbelQuantizer:
+    def test_shapes_loss_and_straight_through(self):
+        from seed_tpu.models.quantizer import gumbel_quantize, init_gumbel
+        p = init_gumbel(jax.random.PRNGKey(0), n_codes=32, dim=8, in_dim=16)
+        z = jax.random.normal(jax.random.PRNGKey(1), (2, 5, 16))
+        out = gumbel_quantize(p, z, jax.random.PRNGKey(2), temp=1.0)
+        assert out.quantized.shape == (2, 5, 8)
+        assert out.indices.shape == (2, 5)
+        assert out.indices.dtype == jnp.int32
+        assert np.isfinite(float(out.loss))
+        # hard=True quantized rows equal exact codebook rows in fwd value
+        cb = np.asarray(p["codebook"])
+        np.testing.assert_allclose(np.asarray(out.quantized),
+                                   cb[np.asarray(out.indices)],
+                                   rtol=1e-5, atol=1e-6)
+        # gradient flows through the ST estimator to proj AND codebook
+        g = jax.grad(lambda pp: jnp.sum(gumbel_quantize(
+            pp, z, jax.random.PRNGKey(2)).quantized ** 2))(p)
+        assert np.abs(np.asarray(g["codebook"])).max() > 0
+        assert np.abs(np.asarray(g["proj"]["kernel"])).max() > 0
+
+    def test_eval_mode_deterministic_argmax(self):
+        from seed_tpu.models.quantizer import gumbel_quantize, init_gumbel
+        p = init_gumbel(jax.random.PRNGKey(0), n_codes=32, dim=8, in_dim=16)
+        z = jax.random.normal(jax.random.PRNGKey(1), (3, 4, 16))
+        a = gumbel_quantize(p, z, None)
+        b = gumbel_quantize(p, z, None)
+        np.testing.assert_array_equal(np.asarray(a.indices),
+                                      np.asarray(b.indices))
+        logits = np.asarray(z.astype(jnp.float32) @ p["proj"]["kernel"]
+                            + p["proj"]["bias"])
+        np.testing.assert_array_equal(np.asarray(a.indices),
+                                      logits.argmax(-1))
+
+
 class TestSeedTokenizer:
     def test_encode_decode_shapes(self):
         cfg = TINY_TOKENIZER

@@ -216,6 +216,55 @@ class TestStage1Extras:
             None))(head)
         assert np.abs(np.asarray(g["kernel"])).max() > 0
 
+    def test_itm_hard_negatives_sim_weighted(self):
+        """With sim_feats the ITM negatives are similarity-sampled in-graph;
+        loss stays finite, is jittable, and differs from the rolled path."""
+        import jax
+        from seed_tpu.train.tokenizer_training import (init_itm_head,
+                                                       stage1_features,
+                                                       stage1_itm_loss)
+        p = tok_params()
+        s1h = init_stage1_head(jax.random.PRNGKey(1), self.CFG1)
+        head = init_itm_head(jax.random.PRNGKey(5), self.CFG1)
+        b = batch()
+        img_f, txt_f = stage1_features(p, s1h, b["images"], b["text_ids"],
+                                       b["text_pad"], self.CFG1)
+        loss_fn = jax.jit(lambda r: stage1_itm_loss(
+            p, head, b["images"], b["text_ids"], b["text_pad"], self.CFG1,
+            r, sim_feats=(img_f, txt_f)))
+        hard = float(loss_fn(jax.random.PRNGKey(0)))
+        assert np.isfinite(hard)
+        rolled = float(stage1_itm_loss(
+            p, head, b["images"], b["text_ids"], b["text_pad"], self.CFG1,
+            jax.random.PRNGKey(0)))
+        assert np.isfinite(rolled)
+
+    def test_stage1_total_loss_joint(self):
+        """ITC + ITM + LM joint objective: finite, metrics exposed, grads
+        flow to the q-former but not the frozen ViT."""
+        import jax
+        from seed_tpu.models.qformer import init_lm_head
+        from seed_tpu.train.tokenizer_training import (init_itm_head,
+                                                       stage1_total_loss)
+        params = {"tokenizer": tok_params(),
+                  "head": init_stage1_head(jax.random.PRNGKey(1), self.CFG1),
+                  "itm_head": init_itm_head(jax.random.PRNGKey(2), self.CFG1),
+                  "lm_head": init_lm_head(jax.random.PRNGKey(3),
+                                          TOK_CFG_TEXT.qformer)}
+        b = batch()
+        (loss, metrics) = stage1_total_loss(params, b, jax.random.PRNGKey(0),
+                                            self.CFG1)
+        assert np.isfinite(float(loss))
+        assert set(metrics) == {"itc", "itm", "lm"}
+        g = jax.grad(lambda p: stage1_total_loss(
+            p, b, jax.random.PRNGKey(0), self.CFG1)[0])(params)
+        vit_g = max(np.abs(np.asarray(x)).max()
+                    for x in jax.tree.leaves(g["tokenizer"]["vit"]["blocks"]))
+        qf_g = max(np.abs(np.asarray(x)).max()
+                   for x in jax.tree.leaves(g["tokenizer"]["qformer"]))
+        assert vit_g == 0.0
+        assert qf_g > 0.0
+
     def test_caption_loss_runs(self):
         import jax
         from seed_tpu.models.qformer import init_lm_head
