@@ -1,0 +1,83 @@
+#!/usr/bin/env python
+"""8B int8-weight decode throughput: bf16 vs int8 KV cache, batch/context
+sweep. The int8 cache halves cache HBM -> fits 2x batch or context
+(the aggregate-throughput lever on one 16GB v5e).
+
+    python scripts/bench_decode_int8cache.py
+"""
+import functools
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+
+_CACHE = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache")
+jax.config.update("jax_compilation_cache_dir", _CACHE)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+import jax.numpy as jnp
+import numpy as np
+
+
+def build_params(cfg):
+    from seed_tpu.models import llama as M
+    from seed_tpu.ops.quantization import quantize_tree
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        shapes = jax.eval_shape(
+            lambda k: quantize_tree(M.init_llama(k, cfg, jnp.bfloat16)),
+            jax.random.PRNGKey(0))
+        rng = np.random.RandomState(0)
+
+        def fill(s):
+            if s.dtype == jnp.int8:
+                return jnp.asarray(rng.randint(-127, 128, size=s.shape,
+                                               dtype=np.int8))
+            return jnp.asarray(np.full(s.shape, 0.01, np.float32), s.dtype)
+
+        params = jax.tree.map(fill, shapes)
+    return jax.device_put(params, jax.devices()[0])
+
+
+def run(params, cfg, B, S, cache_dtype, steps=64, prompt_len=32):
+    from seed_tpu.models import llama as M
+    loop = jax.jit(functools.partial(
+        M.decode_loop, cfg=cfg, steps=steps, temperature=1.0, top_p=0.5,
+        eos_id=-1), donate_argnums=(2,))
+    cache = M.init_cache(cfg, B, S, dtype=cache_dtype)
+    cache = cache._replace(
+        valid=cache.valid.at[:, :prompt_len].set(True),
+        index=jnp.asarray(prompt_len, jnp.int32))
+    tok = jnp.ones((B,), jnp.int32)
+    key = jax.random.PRNGKey(0)
+    toks, _, cache, key = loop(params, tok, cache, key)
+    np.asarray(toks[:, -1])
+    tok = toks[:, -1]
+    t0 = time.perf_counter()
+    toks, _, cache, key = loop(params, tok, cache, key)
+    np.asarray(toks[:, -1])
+    dt = time.perf_counter() - t0
+    return B * steps / dt, dt / steps * 1e3
+
+
+if __name__ == "__main__":
+    from seed_tpu.models import llama as M
+    cfg = M.SEED_LLAMA_8B
+    print(f"device: {jax.devices()[0]}", flush=True)
+    params = build_params(cfg)
+    for (dt_name, cache_dtype, B, S) in [
+        ("bf16", jnp.bfloat16, 32, 192),
+        ("int8", jnp.int8, 32, 192),
+        ("int8", jnp.int8, 64, 192),
+        ("int8", jnp.int8, 32, 448),
+    ]:
+        try:
+            tps, ms = run(params, cfg, B, S, cache_dtype)
+            print(f"cache={dt_name} B={B} S={S}: {tps:7.1f} tok/s "
+                  f"({ms:.1f} ms/step)", flush=True)
+        except Exception as e:
+            print(f"cache={dt_name} B={B} S={S}: failed "
+                  f"{type(e).__name__}: {str(e)[:200]}", flush=True)

@@ -2,6 +2,7 @@ from .mesh import (
     AXIS_NAMES,
     DATA_AXIS,
     FSDP_AXIS,
+    PIPE_AXIS,
     TENSOR_AXIS,
     auto_mesh,
     batch_sharding,
@@ -16,10 +17,12 @@ from .partition import (
     make_shardings,
     shard_params,
 )
+from .pipeline import pipeline_forward, pipeline_llama_loss
 
 __all__ = [
-    "AXIS_NAMES", "DATA_AXIS", "FSDP_AXIS", "TENSOR_AXIS",
+    "AXIS_NAMES", "DATA_AXIS", "FSDP_AXIS", "PIPE_AXIS", "TENSOR_AXIS",
     "auto_mesh", "batch_sharding", "make_mesh", "replicated", "shard_batch",
     "LLAMA_TP_RULES", "VIT_TP_RULES",
     "make_param_specs", "make_shardings", "shard_params",
+    "pipeline_forward", "pipeline_llama_loss",
 ]

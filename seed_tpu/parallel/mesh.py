@@ -25,29 +25,34 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 DATA_AXIS = "data"
 FSDP_AXIS = "fsdp"
+PIPE_AXIS = "pipe"
 TENSOR_AXIS = "tensor"
-AXIS_NAMES = (DATA_AXIS, FSDP_AXIS, TENSOR_AXIS)
+AXIS_NAMES = (DATA_AXIS, FSDP_AXIS, PIPE_AXIS, TENSOR_AXIS)
 
 
 def make_mesh(
     dp: int = 1,
     fsdp: int = -1,
     tp: int = 1,
+    pp: int = 1,
     devices: Optional[Sequence[jax.Device]] = None,
 ) -> Mesh:
-    """Build a (data, fsdp, tensor) mesh.
+    """Build a (data, fsdp, pipe, tensor) mesh.
 
     ``fsdp=-1`` absorbs all remaining devices. A single-device mesh is valid
     and yields fully-replicated shardings, so model code never special-cases
-    device count.
+    device count. Axis order puts tensor innermost (highest-bandwidth ICI
+    neighbors), pipe next (ppermute rides nearest-neighbor links), then
+    fsdp, with pure data parallel outermost (cheapest collective — one
+    gradient psum per step, fine over DCN).
     """
     devices = list(devices if devices is not None else jax.devices())
     n = len(devices)
     if fsdp == -1:
-        fsdp = n // (dp * tp)
-    if dp * fsdp * tp != n:
-        raise ValueError(f"mesh {dp}x{fsdp}x{tp} != {n} devices")
-    arr = np.asarray(devices).reshape(dp, fsdp, tp)
+        fsdp = n // (dp * tp * pp)
+    if dp * fsdp * tp * pp != n:
+        raise ValueError(f"mesh {dp}x{fsdp}x{pp}x{tp} != {n} devices")
+    arr = np.asarray(devices).reshape(dp, fsdp, pp, tp)
     return Mesh(arr, AXIS_NAMES)
 
 
