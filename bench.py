@@ -115,28 +115,56 @@ def main():
                           dtype=jnp.bfloat16)
         return encode(p, imgs, cfg)
 
-    results = {}
-    for batch in (16, 32, 64, 128):
-        raw = np.random.RandomState(0).randint(
-            0, 256, size=(batch, 224, 224, 3)).astype(np.uint8)
-        raw = jnp.asarray(raw)
-        np.asarray(encode_u8(params, raw))  # compile + warmup
-        # NOTE: device->host transfer is the sync point; on the axon tunnel
-        # block_until_ready() returns before execution completes.
-        n_iters = 5
-        t0 = time.perf_counter()
-        for _ in range(n_iters - 1):
-            encode_u8(params, raw)
-        np.asarray(encode_u8(params, raw))
-        dt = (time.perf_counter() - t0) / n_iters
-        results[batch] = batch / dt
+    def sweep(p, fn, batches):
+        res = {}
+        for batch in batches:
+            raw = np.random.RandomState(0).randint(
+                0, 256, size=(batch, 224, 224, 3)).astype(np.uint8)
+            raw = jnp.asarray(raw)
+            np.asarray(fn(p, raw))  # compile + warmup
+            # NOTE: device->host transfer is the sync point; on the axon
+            # tunnel block_until_ready() returns before execution completes.
+            n_iters = 5
+            t0 = time.perf_counter()
+            for _ in range(n_iters - 1):
+                fn(p, raw)
+            np.asarray(fn(p, raw))
+            dt = (time.perf_counter() - t0) / n_iters
+            res[batch] = batch / dt
+        return res
 
-    best = max(results.values())
+    results = sweep(params, encode_u8, (16, 32, 64, 128))
     detail = {f"batch_{k}": round(v, 2) for k, v in results.items()}
+
+    # Serving-fast variant: W8A8 int8 matmuls (the reference's 8-bit
+    # serving mode) + Pallas short-seq attention + tanh GELU — each lever
+    # measured separately in PERF.md round 2 (token-id agreement vs exact
+    # bf16: 96-97% per lever). Measured at the best bf16 batch.
+    from seed_tpu.models.seed_tokenizer import (quantize_for_serving,
+                                                serving_fast_config)
+    qparams, qcfg = quantize_for_serving(params, cfg)
+    qcfg = serving_fast_config(qcfg)
+    qparams = jax.device_put(qparams)
+
+    @jax.jit
+    def encode_u8_int8(p, raw_u8):
+        imgs = preprocess(raw_u8, image_size=qcfg.vit.image_size,
+                          dtype=jnp.bfloat16)
+        return encode(p, imgs, qcfg)
+
+    best_bf16_batch = max(results, key=results.get)
+    int8_results = sweep(qparams, encode_u8_int8, (best_bf16_batch,))
+    detail[f"serving_fast_batch_{best_bf16_batch}"] = round(
+        int8_results[best_bf16_batch], 2)
+
+    best = max(max(results.values()), max(int8_results.values()))
+    variant = ("w8a8+flash+tanh" if max(int8_results.values())
+               > max(results.values()) else "bf16")
     if decode_tps is not None:
         detail["decode_8b_int8_tokens_per_sec"] = round(decode_tps, 2)
     out = {
-        "metric": "images/sec/chip (SEED-2 tokenizer encode, bf16, 224x224)",
+        "metric": f"images/sec/chip (SEED-2 tokenizer encode, {variant}, "
+                  "224x224)",
         "value": round(best, 2),
         "unit": "images/sec/chip",
         "vs_baseline": round(best / 5000.0, 4),

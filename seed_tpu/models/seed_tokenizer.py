@@ -150,6 +150,23 @@ def quantize_for_serving(params, cfg: SeedTokenizerConfig):
         cfg, vit=dataclasses.replace(cfg.vit, w8a8=True))
 
 
+def serving_fast_config(cfg: SeedTokenizerConfig):
+    """Compose every measured serving-mode encode lever on ``cfg.vit``:
+
+    - ``use_flash``: Pallas short-seq attention (scores stay in VMEM)
+    - ``gelu_tanh``: tanh GELU (erf costs ~9% of full encode on the VPU)
+
+    Orthogonal to :func:`quantize_for_serving` (W8A8 — apply both for the
+    fastest path). Token-id agreement vs exact bf16 is measured per
+    combination in PERF.md / scripts/bench_encode_variants.py; all levers
+    stay opt-in so the default path keeps torch parity.
+    """
+    import dataclasses
+    return dataclasses.replace(
+        cfg, vit=dataclasses.replace(cfg.vit, use_flash=True,
+                                     act="gelu_tanh"))
+
+
 # ------------------------------ encode -------------------------------------
 
 def encode_features(params, images: jnp.ndarray,

@@ -39,7 +39,11 @@ class ViTConfig:
     heads: int = 16
     mlp_dim: int = 6144
     qkv_bias: str = "qv"        # "qv" (EVA: q+v bias, k zero) | "full" | "none"
-    act: str = "gelu"           # "gelu" (exact) | "quick_gelu" (CLIP)
+    # "gelu" (exact erf — torch nn.GELU parity) | "quick_gelu" (CLIP) |
+    # "gelu_tanh" (serving-mode approximation: ~9% faster full-encode on
+    # v5e — erf lowers to more VPU ops than tanh; opt-in, changes ~2% of
+    # emitted token ids, same order as W8A8)
+    act: str = "gelu"
     ln_eps: float = 1e-6
     ln_pre: bool = False        # CLIP-style pre-transformer LayerNorm
     patch_bias: bool = True
@@ -49,6 +53,13 @@ class ViTConfig:
     # int8 x int8 -> int32 on the MXU (2x bf16 TOPS on v5e). Norms,
     # attention softmax paths, patch embed stay bf16/fp32.
     w8a8: bool = False
+    # Route block attention through the Pallas short-sequence kernel
+    # (ops/flash_attention._short_mha). The XLA path materializes the
+    # fp32 [257, 257] score tensor per head in HBM — measured at 49% of
+    # EVA-ViT encode time for 3% of its FLOPs (PERF.md round 2,
+    # scripts/probe_encode_cost.py); the kernel keeps scores in VMEM.
+    # Same math (fp32 softmax), float-reassociated.
+    use_flash: bool = False
 
     @property
     def num_patches(self) -> int:
@@ -76,6 +87,8 @@ TINY_VIT = ViTConfig(image_size=28, patch_size=14, dim=32, depth=2, heads=2,
 def _act(cfg: ViTConfig):
     if cfg.act == "quick_gelu":
         return lambda x: x * jax.nn.sigmoid(1.702 * x)
+    if cfg.act == "gelu_tanh":
+        return lambda x: jax.nn.gelu(x, approximate=True)
     return L.gelu
 
 
@@ -158,7 +171,11 @@ def block_apply(p, x: jnp.ndarray, cfg: ViTConfig) -> jnp.ndarray:
     q = q.reshape(B, N, H, hd)
     k = k.reshape(B, N, H, hd)
     v = v.reshape(B, N, H, hd)
-    o = mha(q, k, v).reshape(B, N, D)
+    if cfg.use_flash:
+        from ..ops.flash_attention import flash_attention
+        o = flash_attention(q, k, v).reshape(B, N, D)
+    else:
+        o = mha(q, k, v).reshape(B, N, D)
     x = x + _lin(p["attn"]["proj"], o, cfg)
 
     h = L.layer_norm(p["norm2"], x, cfg.ln_eps)

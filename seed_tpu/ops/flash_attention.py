@@ -49,7 +49,7 @@ def _interpret() -> bool:
 
 def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr, *,
                   causal: bool, sm_scale: float, kv_tiles: int,
-                  q_offset: int):
+                  q_offset: int, kv_len: int, block_q: int, block_k: int):
     qi = pl.program_id(2)
     ki = pl.program_id(3)
 
@@ -61,7 +61,7 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr, *,
 
     # causal tile skip: run only if this kv tile intersects the triangle
     if causal:
-        should_run = (qi + 1) * BLOCK_Q + q_offset > ki * BLOCK_K
+        should_run = (qi + 1) * block_q + q_offset > ki * block_k
     else:
         should_run = True
 
@@ -75,10 +75,18 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr, *,
 
         if causal:
             rows = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0) \
-                + qi * BLOCK_Q + q_offset
+                + qi * block_q + q_offset
             cols = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) \
-                + ki * BLOCK_K
+                + ki * block_k
             s = jnp.where(cols <= rows, s, MASK_VALUE)
+        if kv_len % block_k != 0:
+            # suppress zero-padded kv columns (non-tile-multiple kv length,
+            # e.g. the ViT's 257 patches): zero K rows score 0, not -inf.
+            # Only the last kv tile contains padding; others short-circuit
+            # on the iota compare (cols < kv_len is all-True there).
+            cols = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) \
+                + ki * block_k
+            s = jnp.where(cols < kv_len, s, MASK_VALUE)
 
         m_prev = m_scr[:]
         l_prev = l_scr[:]
@@ -101,16 +109,20 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr, *,
         o_ref[0, 0] = (acc_scr[:] * l_inv).astype(o_ref.dtype)
 
 
-def _flash_fwd_bhsd(q, k, v, causal: bool, sm_scale: float, q_offset: int):
-    """q [B, H, Sq, D], k/v [B, H, Sk, D] — all padded to tile multiples."""
+def _flash_fwd_bhsd(q, k, v, causal: bool, sm_scale: float, q_offset: int,
+                    kv_len: int, block_q: int = BLOCK_Q,
+                    block_k: int = BLOCK_K):
+    """q [B, H, Sq, D], k/v [B, H, Sk, D] — all padded to tile multiples;
+    ``kv_len`` = the real (pre-padding) kv length, masked in-kernel."""
     B, H, Sq, D = q.shape
     Sk = k.shape[2]
-    q_tiles, kv_tiles = Sq // BLOCK_Q, Sk // BLOCK_K
+    q_tiles, kv_tiles = Sq // block_q, Sk // block_k
 
     grid = (B, H, q_tiles, kv_tiles)
     kernel = functools.partial(_flash_kernel, causal=causal,
                                sm_scale=sm_scale, kv_tiles=kv_tiles,
-                               q_offset=q_offset)
+                               q_offset=q_offset, kv_len=kv_len,
+                               block_q=block_q, block_k=block_k)
     return pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((B, H, Sq, D), q.dtype),
@@ -118,16 +130,16 @@ def _flash_fwd_bhsd(q, k, v, causal: bool, sm_scale: float, q_offset: int):
             num_scalar_prefetch=0,
             grid=grid,
             in_specs=[
-                pl.BlockSpec((1, 1, BLOCK_Q, D), lambda b, h, i, j: (b, h, i, 0)),
-                pl.BlockSpec((1, 1, BLOCK_K, D), lambda b, h, i, j: (b, h, j, 0)),
-                pl.BlockSpec((1, 1, BLOCK_K, D), lambda b, h, i, j: (b, h, j, 0)),
+                pl.BlockSpec((1, 1, block_q, D), lambda b, h, i, j: (b, h, i, 0)),
+                pl.BlockSpec((1, 1, block_k, D), lambda b, h, i, j: (b, h, j, 0)),
+                pl.BlockSpec((1, 1, block_k, D), lambda b, h, i, j: (b, h, j, 0)),
             ],
-            out_specs=pl.BlockSpec((1, 1, BLOCK_Q, D),
+            out_specs=pl.BlockSpec((1, 1, block_q, D),
                                    lambda b, h, i, j: (b, h, i, 0)),
             scratch_shapes=[
-                pltpu.VMEM((BLOCK_Q, 1), jnp.float32),
-                pltpu.VMEM((BLOCK_Q, 1), jnp.float32),
-                pltpu.VMEM((BLOCK_Q, D), jnp.float32),
+                pltpu.VMEM((block_q, 1), jnp.float32),
+                pltpu.VMEM((block_q, 1), jnp.float32),
+                pltpu.VMEM((block_q, D), jnp.float32),
             ],
         ),
         compiler_params=pltpu.CompilerParams(
@@ -135,6 +147,86 @@ def _flash_fwd_bhsd(q, k, v, causal: bool, sm_scale: float, q_offset: int):
                                  "arbitrary")),
         interpret=_interpret(),
     )(q, k, v)
+
+
+def _short_mha_kernel(q_ref, k_ref, v_ref, o_ref, *, sm_scale: float):
+    """All-heads-per-program attention for short sequences.
+
+    The flash grid above runs ONE (b, h, q_tile, kv_tile) program per
+    step, and the TPU grid is sequential: at the ViT's S=257 that is
+    B*H tiny programs whose fixed per-step cost (DMA pipeline fill,
+    program switch) dwarfs the ~0.4 GFLOP of attention math — measured
+    barely faster than the XLA path (398 vs 420 ms full-encode, B=64).
+    Here one program handles ALL heads of one batch element: grid (B,),
+    an unrolled head loop, and a plain one-pass softmax (the whole
+    [S, S] score block lives in VMEM — no online rescaling needed).
+    Shapes stay logical (S=257, D=88): Mosaic masks the ragged
+    sublane/lane edges, so no host-side padding, masking, or transposed
+    copies of the score matrix ever touch HBM.
+    """
+    H = q_ref.shape[1]
+    for h in range(H):
+        q = q_ref[0, h]                       # [S, D]
+        k = k_ref[0, h]
+        v = v_ref[0, h]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * sm_scale
+        m = jnp.max(s, axis=1, keepdims=True)
+        p = jnp.exp(s - m)
+        l = jnp.sum(p, axis=1, keepdims=True)
+        p = (p / l).astype(v.dtype)
+        o_ref[0, h] = jax.lax.dot_general(
+            p, v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(o_ref.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _short_mha(q, k, v, sm_scale):
+    """Non-causal attention, q/k/v [B, S, H, D], whole-sequence VMEM."""
+    B, Sq, H, D = q.shape
+    Sk = k.shape[1]
+    qt = q.transpose(0, 2, 1, 3)
+    kt = k.transpose(0, 2, 1, 3)
+    vt = v.transpose(0, 2, 1, 3)
+    out = pl.pallas_call(
+        functools.partial(_short_mha_kernel, sm_scale=sm_scale),
+        out_shape=jax.ShapeDtypeStruct(qt.shape, q.dtype),
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((1, H, Sq, D), lambda b: (b, 0, 0, 0)),
+            pl.BlockSpec((1, H, Sk, D), lambda b: (b, 0, 0, 0)),
+            pl.BlockSpec((1, H, Sk, D), lambda b: (b, 0, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, H, Sq, D), lambda b: (b, 0, 0, 0)),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",)),
+        interpret=_interpret(),
+    )(qt, kt, vt)
+    return out.transpose(0, 2, 1, 3)
+
+
+def _short_mha_fwd_rule(q, k, v, sm_scale):
+    return _short_mha(q, k, v, sm_scale), (q, k, v)
+
+
+def _short_mha_bwd_rule(sm_scale, res, g):
+    q, k, v = res
+    _, vjp = jax.vjp(lambda q, k, v: mha(q, k, v, scale=sm_scale), q, k, v)
+    return vjp(g)
+
+
+_short_mha.defvjp(_short_mha_fwd_rule, _short_mha_bwd_rule)
+
+
+def _short_vmem_bytes(Sq, Sk, H, D, itemsize=2):
+    """Rough VMEM footprint of one _short_mha program (padded blocks,
+    double-buffered in/out) — used to gate dispatch."""
+    sp = lambda s: -(-s // 16) * 16          # bf16 sublane tile
+    lp = lambda d: -(-d // 128) * 128
+    blocks = H * (sp(Sq) + 2 * sp(Sk) + sp(Sq)) * lp(D) * itemsize * 2
+    scores = sp(Sq) * lp(Sk) * 4 * 3         # s, p, exp temporaries
+    return blocks + scores
 
 
 def _pad_to(x, axis, multiple):
@@ -147,30 +239,34 @@ def _pad_to(x, axis, multiple):
     return jnp.pad(x, pads)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
-def _flash(q, k, v, causal, sm_scale, q_offset):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
+def _flash(q, k, v, causal, sm_scale, q_offset, block_q=BLOCK_Q,
+           block_k=BLOCK_K):
     B, Sq, H, D = q.shape
     Sk = k.shape[1]
-    # to [B, H, S, D]; pad S to 128-tiles and D to the 128-lane boundary
-    qt = _pad_to(_pad_to(q.transpose(0, 2, 1, 3), 2, BLOCK_Q), 3, 128)
-    kt = _pad_to(_pad_to(k.transpose(0, 2, 1, 3), 2, BLOCK_K), 3, 128)
-    vt = _pad_to(_pad_to(v.transpose(0, 2, 1, 3), 2, BLOCK_K), 3, 128)
-    # padded kv columns: give them MASK-like suppression by relying on
-    # zero K rows producing score 0; for non-causal use we must mask —
-    # handled by padding K with a large-negative first column trick is
-    # fragile, so instead mask via causal-or-length: pad rows of K are at
-    # positions >= Sk, and every real query row (pos < Sq) satisfies
-    # col > row + offset for them IF causal. For the non-causal path we
-    # slice below only when Sk was already aligned.
-    out = _flash_fwd_bhsd(qt, kt, vt, causal, sm_scale, q_offset)
+    # to [B, H, S, D]; pad S to block multiples and D to the 128-lane
+    # boundary. For short sequences (the ViT's 257) pass block sizes that
+    # hold the WHOLE padded sequence: one program per (batch, head) —
+    # 128x128 tiling there spends more time on grid overhead + k/v
+    # re-reads than on math (measured 546 vs 419 ms full-encode).
+    qt = _pad_to(_pad_to(q.transpose(0, 2, 1, 3), 2, block_q), 3, 128)
+    kt = _pad_to(_pad_to(k.transpose(0, 2, 1, 3), 2, block_k), 3, 128)
+    vt = _pad_to(_pad_to(v.transpose(0, 2, 1, 3), 2, block_k), 3, 128)
+    # padded kv columns (Sk not a 128 multiple, e.g. the ViT's 257) are
+    # masked INSIDE the kernel via kv_len — zero K rows would otherwise
+    # score 0 (not -inf) and leak weight into the softmax.
+    out = _flash_fwd_bhsd(qt, kt, vt, causal, sm_scale, q_offset, Sk,
+                          block_q, block_k)
     return out[:, :, :Sq, :D].transpose(0, 2, 1, 3)
 
 
-def _flash_fwd_rule(q, k, v, causal, sm_scale, q_offset):
-    return _flash(q, k, v, causal, sm_scale, q_offset), (q, k, v)
+def _flash_fwd_rule(q, k, v, causal, sm_scale, q_offset,
+                    block_q=BLOCK_Q, block_k=BLOCK_K):
+    return (_flash(q, k, v, causal, sm_scale, q_offset, block_q, block_k),
+            (q, k, v))
 
 
-def _flash_bwd_rule(causal, sm_scale, q_offset, res, g):
+def _flash_bwd_rule(causal, sm_scale, q_offset, block_q, block_k, res, g):
     q, k, v = res
 
     def ref(q, k, v):
@@ -206,9 +302,17 @@ def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
         v = jnp.repeat(v, rep, axis=2)
 
     use_kernel = (Sq >= MIN_FLASH_SEQ and Sk >= MIN_FLASH_SEQ
-                  and D <= 256 and (causal or Sk % BLOCK_K == 0))
+                  and D <= 256)
     if not use_kernel:
         from .attention import sliced_causal_mask
         mask = sliced_causal_mask(Sq, Sk, q_offset) if causal else None
         return mha(q, k, v, mask=mask, scale=scale)
+
+    # non-causal short sequences (the ViT's 257): all-heads-per-program
+    # kernel — the tiled flash grid's per-program overhead dominates at
+    # this size (B*H sequential tiny programs; see _short_mha_kernel)
+    if (not causal and Sq <= 1024 and Sk <= 1024
+            and _short_vmem_bytes(Sq, Sk, H, D) < 12 * 1024 * 1024):
+        return _short_mha(q, k, v, scale)
+
     return _flash(q, k, v, causal, scale, q_offset)

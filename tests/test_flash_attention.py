@@ -32,6 +32,34 @@ class TestFlashForward:
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                    rtol=2e-4, atol=2e-4)
 
+    def test_noncausal_unaligned_kv_vit_shape(self):
+        """The EVA-ViT shape (S=257, D=88, NON-causal): padded kv columns
+        must be masked in-kernel or zero K rows leak softmax weight."""
+        B, S, H, D = 2, 257, 2, 88
+        q, k, v = rand((B, S, H, D), 0), rand((B, S, H, D), 1), rand((B, S, H, D), 2)
+        got = _flash(q, k, v, False, D ** -0.5, 0)
+        want = mha(q, k, v)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=2e-4, atol=2e-4)
+        # the public entry must now route this shape to the kernel too
+        got2 = flash_attention(q, k, v, causal=False)
+        np.testing.assert_allclose(np.asarray(got2), np.asarray(want),
+                                   rtol=2e-4, atol=2e-4)
+
+    def test_vit_block_use_flash_matches_xla(self):
+        """block_apply(use_flash=True) numerics vs the mha path."""
+        import dataclasses
+        from seed_tpu.models import vit as V
+        cfg = dataclasses.replace(V.ViTConfig(image_size=28, patch_size=14,
+                                              dim=32, depth=2, heads=2,
+                                              mlp_dim=64))
+        p = V.init_vit(jax.random.PRNGKey(0), cfg)
+        imgs = rand((2, 28, 28, 3), 3)
+        want = V.vit_apply(p, imgs, cfg)
+        got = V.vit_apply(p, imgs, dataclasses.replace(cfg, use_flash=True))
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=2e-4, atol=2e-4)
+
     def test_q_offset_chunked_prefill(self):
         """Chunked prefill: q chunk at offset inside a longer kv."""
         B, H, D = 1, 2, 128
