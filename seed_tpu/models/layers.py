@@ -65,6 +65,11 @@ def linear_w8a8(p: Params, x: jnp.ndarray) -> jnp.ndarray:
     activation row, per-output-channel weight column).
     p: {"kernel_q": int8 [in, out], "scale": [out], "bias"?: [out]}.
     """
+    # NOTE: always the XLA dot. A Pallas int8 kernel was built and
+    # measured (ops/int8_matmul.w8a8_matmul): Mosaic's int8 dot lowering
+    # reaches only ~67 TOP/s at square-4096 (XLA: 229) and 0.35x XLA at
+    # the ViT qkv shape — the native int8 MXU path is not reachable from
+    # Pallas today, so XLA wins. See PERF.md round 2.
     from ..ops.quantization import quantize_acts
     xq, xs = quantize_acts(x)
     y = jax.lax.dot_general(

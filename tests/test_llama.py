@@ -178,6 +178,26 @@ class TestSampling:
         tok = sample(jax.random.PRNGKey(0), logits, do_sample=False)
         assert int(tok[0]) == 1
 
+    def test_top_p_candidates_matches_exact(self):
+        # the top_k candidate path (decode fast path: skips the full
+        # 40320-wide sort) must equal the exact path whenever the nucleus
+        # fits inside the candidate set — here a peaked distribution
+        rng = np.random.RandomState(0)
+        logits = jnp.asarray(rng.randn(4, 512) * 3, jnp.float32)
+        for p in (0.3, 0.7, 0.95):
+            exact = np.asarray(apply_top_p(logits, p))
+            fast = np.asarray(apply_top_p(logits, p, candidates=128))
+            np.testing.assert_allclose(fast, exact, rtol=1e-6)
+
+    def test_top_p_rowwise_candidates_p1_keeps_all(self):
+        from seed_tpu.ops.sampling import apply_top_p_rowwise
+        rng = np.random.RandomState(1)
+        logits = jnp.asarray(rng.randn(2, 256), jnp.float32)
+        p = jnp.asarray([0.5, 1.0], jnp.float32)
+        out = np.asarray(apply_top_p_rowwise(logits, p, candidates=64))
+        assert (out[0] < -1e8).any()          # row 0 filtered
+        assert (out[1] > -1e8).all()          # p=1 row untouched
+
 
 class TestEngine:
     def test_generate_greedy_matches_manual(self, params):

@@ -135,6 +135,52 @@ class TestConversation:
             conv.append("USER", "no flag here", images=["B64"])
 
 
+class TestW8A8Kernel:
+    def test_w8a8_matmul_exact_vs_emulation(self):
+        # int8 x int8 -> int32 is exact: the kernel must match the float
+        # emulation of the quantized product to fp32 rounding
+        from seed_tpu.ops.int8_matmul import w8a8_matmul
+        rng = np.random.RandomState(0)
+        M, K, N = 300, 256, 384   # ragged M exercises the pad path
+        xq = jnp.asarray(rng.randint(-127, 128, (M, K)), jnp.int8)
+        xs = jnp.asarray(np.abs(rng.randn(M, 1)) * 0.01, jnp.float32)
+        wq = jnp.asarray(rng.randint(-127, 128, (K, N)), jnp.int8)
+        ws = jnp.asarray(np.abs(rng.randn(N)) * 0.01, jnp.float32)
+        got = w8a8_matmul(xq, xs, wq, ws, out_dtype=jnp.float32)
+        want = (xq.astype(jnp.float32) @ wq.astype(jnp.float32)) * xs * ws
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-5, atol=1e-5)
+
+    def test_w8a8_matmul_k_tiling(self):
+        from seed_tpu.ops.int8_matmul import w8a8_matmul
+        rng = np.random.RandomState(1)
+        M, K, N = 256, 4096, 128  # 2 K-tiles at bk=2048
+        xq = jnp.asarray(rng.randint(-4, 5, (M, K)), jnp.int8)
+        xs = jnp.full((M, 1), 0.5, jnp.float32)
+        wq = jnp.asarray(rng.randint(-4, 5, (K, N)), jnp.int8)
+        ws = jnp.full((N,), 0.25, jnp.float32)
+        got = w8a8_matmul(xq, xs, wq, ws, out_dtype=jnp.float32)
+        want = (xq.astype(jnp.float32) @ wq.astype(jnp.float32)) * xs * ws
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-5, atol=1e-5)
+
+    def test_w8a8_kernel_matches_linear_w8a8(self):
+        # the kernel is not production-dispatched (Mosaic int8 dot is
+        # slower than XLA's, see w8a8_matmul docstring) but must stay
+        # numerically identical to the XLA W8A8 path
+        from seed_tpu.ops.int8_matmul import w8a8_matmul
+        from seed_tpu.ops.quantization import quantize_acts, quantize_weight
+        w = jax.random.normal(jax.random.PRNGKey(0), (256, 384))
+        p = quantize_weight(w)
+        x = jax.random.normal(jax.random.PRNGKey(1), (512, 256))
+        want = L.linear_w8a8(p, x)
+        xq, xs = quantize_acts(x)
+        got = w8a8_matmul(xq, xs, p["kernel_q"], p["scale"],
+                          out_dtype=jnp.float32)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-5, atol=1e-5)
+
+
 class TestInt8Kernel:
     def test_kernel_matches_xla_reference(self):
         from seed_tpu.ops.int8_matmul import int8_matmul
