@@ -77,7 +77,8 @@ if __name__ == "__main__":
     base = M.SEED_LLAMA_8B
     results = {}
     import os as _os
-    layer_list = tuple(int(x) for x in _os.environ.get("PROBE_LAYERS", "32,16,8").split(","))
+    _raw = _os.environ.get("PROBE_LAYERS", "32,16,8")
+    layer_list = tuple(int(x) for x in _raw.split(",")) if _raw else ()
     for L in layer_list:
         cfg = dataclasses.replace(base, layers=L)
         ms = step_ms(cfg, int8=True)
@@ -95,5 +96,6 @@ if __name__ == "__main__":
     print(f"per-layer roofline: int8 weights {int8_bytes_per_layer/819e9*1e3:.3f} ms"
           f" + cache {2*B*S*4096*2*2/32/819e9*1e3:.3f} ms", flush=True)
     if _os.environ.get("PROBE_BF16"):
-        ms_bf16 = step_ms(dataclasses.replace(base, layers=8), int8=False)
-        print(f"bf16 L=8: {ms_bf16:6.2f} ms/step", flush=True)
+        Lb = int(_os.environ["PROBE_BF16"])
+        ms_bf16 = step_ms(dataclasses.replace(base, layers=Lb), int8=False)
+        print(f"bf16 L={Lb}: {ms_bf16:6.2f} ms/step", flush=True)

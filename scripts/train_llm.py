@@ -35,6 +35,11 @@ def main():
     ap.add_argument("--lora", action="store_true", default=True)
     ap.add_argument("--no-lora", dest="lora", action="store_false")
     ap.add_argument("--tp", type=int, default=1)
+    # Pallas flash attention: measured 1.12x (S=1024) / 1.44x (S=2048)
+    # whole-train-step vs the XLA path (PERF.md round 2); shapes below
+    # S=256 fall back to XLA automatically
+    ap.add_argument("--flash", action="store_true", default=True)
+    ap.add_argument("--no-flash", dest="flash", action="store_false")
     ap.add_argument("--output", default="ckpts/llm")
     ap.add_argument("--save-steps", type=int, default=1000)
     ap.add_argument("--log-steps", type=int, default=50)
@@ -67,14 +72,16 @@ def main():
         def loss_fn(p, batch, rng):
             merged = apply_lora(p["base"], p["lora"])
             logits = M.forward(merged, batch["input_ids"], cfg,
-                               attn_mask=batch["attention_mask"], remat=True)
+                               attn_mask=batch["attention_mask"], remat=True,
+                               use_flash=args.flash)
             return cross_entropy(logits[:, :-1], batch["labels"][:, 1:])
     else:
         params = base
 
         def loss_fn(p, batch, rng):
             logits = M.forward(p, batch["input_ids"], cfg,
-                               attn_mask=batch["attention_mask"], remat=True)
+                               attn_mask=batch["attention_mask"], remat=True,
+                               use_flash=args.flash)
             return cross_entropy(logits[:, :-1], batch["labels"][:, 1:])
 
     mesh = auto_mesh(tp=args.tp)

@@ -5,22 +5,28 @@ memory-efficient attention (models/llama_xformer.py:244-255) and
 flash-attn-2 (MultiModalLLM/src/model/modeling_llama_4_35_0.py:415-576):
 O(seq) memory attention that never materializes the [S, S] score matrix.
 
-Kernel design (see the JAX pallas ops it is modeled on):
-- grid (batch, heads, q_tiles, kv_tiles); kv dimension is the sequential
-  online-softmax reduction, the rest are parallel
-- fp32 running max m / sum l / accumulator in VMEM scratch, persisting
-  across kv tiles of one q tile
-- causal mode skips whole kv tiles above the diagonal and element-masks
-  the diagonal tile; mask value is -0.7*f32_max (never -inf: exp(-inf -
-  -inf) = NaN)
-- differentiable via custom_vjp: the backward recomputes attention with
-  the XLA einsum path (training seq lens in the reference are <= 1024,
-  where recompute is cheaper than a dedicated bwd kernel; pair with
-  jax.checkpoint for layer-level remat)
+Kernel design (TPU-first: the grid is SEQUENTIAL, so each program must
+do substantial work — tiny per-(tile, tile) programs measured slower
+than XLA at every shape tried):
+- forward: grid (batch, heads, q_tiles) with 512-row q tiles; the kv
+  dimension is an IN-KERNEL fori_loop over VMEM-resident whole k/v rows
+  (online softmax: fp32 running max/sum/accumulator as loop carry)
+- causal mode bounds the kv loop at the diagonal and element-masks the
+  diagonal tile; mask value is -0.7*f32_max (never -inf: exp(-inf -
+  -inf) = NaN); non-tile-multiple kv lengths are masked via kv_len
+- the forward also emits per-row log-sum-exp, consumed by a FLASH
+  BACKWARD (custom_vjp): a dq kernel (grid over q tiles, kv in-kernel)
+  and a dk/dv kernel (grid over kv tiles, q in-kernel) implementing the
+  standard FA-2 recurrence (delta = rowsum(dO*O) precomputed in XLA);
+  chunked-prefill offsets fall back to an XLA recompute
+- short NON-causal sequences (the ViT's S=257): _short_mha — grid over
+  (batch, head-groups) only, ~8 heads unrolled per program, one-pass
+  fp32 softmax entirely in VMEM, no host-side padding (Mosaic masks the
+  ragged S=257 / D=88 edges)
 
 The public entry ``flash_attention(q, k, v)`` takes [B, S, H, D] (the
 seed_tpu convention), handles GQA by repeating kv heads, pads S to the
-128-tile and D to the 128-lane boundary, and falls back to the XLA path
+block and D to the 128-lane boundary, and falls back to the XLA path
 for tiny shapes where kernel launch overhead dominates.
 """
 from __future__ import annotations
@@ -36,9 +42,13 @@ from jax.experimental.pallas import tpu as pltpu
 from .attention import mha
 
 MASK_VALUE = -0.7 * float(jnp.finfo(jnp.float32).max)
-BLOCK_Q = 128
-BLOCK_K = 128
+# Big q tiles, kv as an in-kernel loop over VMEM-resident whole rows:
+# program count B*H*(S/512) with ~0.5 GFLOP each. 128x128 tiles with kv
+# on the (sequential!) TPU grid measured SLOWER than XLA at S=1024-2048.
+BLOCK_Q = 512
+BLOCK_K = 512
 MIN_FLASH_SEQ = 256   # below this the XLA path is faster (launch overhead)
+MAX_KERNEL_KV = 8192  # whole-row k/v must fit (double-buffered) in VMEM
 
 
 def _interpret() -> bool:
@@ -47,66 +57,72 @@ def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
-def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr, *,
-                  causal: bool, sm_scale: float, kv_tiles: int,
-                  q_offset: int, kv_len: int, block_q: int, block_k: int):
+def _flash_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *,
+                  causal: bool, sm_scale: float, q_offset: int,
+                  kv_len: int, block_q: int, block_k: int):
+    """One (batch, head, q_tile) program; the kv dimension is an
+    IN-KERNEL fori_loop over [block_k, D] slices of the whole-row k/v
+    blocks already resident in VMEM.
+
+    The first version of this kernel put kv tiles on the grid instead —
+    on TPU the grid is SEQUENTIAL, so S=1024 B=4 H=32 meant ~4,600 tiny
+    programs whose fixed cost made the kernel slower than the XLA path
+    it replaces (430 vs 388 ms fwd+bwd, L=8). Here the program count is
+    B*H*(S/block_q) and each program does block_q*Sk worth of math.
+    """
     qi = pl.program_id(2)
-    ki = pl.program_id(3)
+    Sk = k_ref.shape[2]
+    kv_tiles = Sk // block_k
+    q = q_ref[0, 0]                           # [block_q, D]
+    q_row0 = qi * block_q + q_offset
 
-    @pl.when(ki == 0)
-    def _init():
-        m_scr[:] = jnp.full_like(m_scr, -jnp.inf)
-        l_scr[:] = jnp.zeros_like(l_scr)
-        acc_scr[:] = jnp.zeros_like(acc_scr)
-
-    # causal tile skip: run only if this kv tile intersects the triangle
     if causal:
-        should_run = (qi + 1) * block_q + q_offset > ki * block_k
+        # last kv tile intersecting the triangle for this q tile
+        hi = jnp.minimum(kv_tiles,
+                         pl.cdiv(q_row0 + block_q, block_k))
     else:
-        should_run = True
+        hi = kv_tiles
 
-    @pl.when(should_run)
-    def _run():
-        q = q_ref[0, 0]                       # [BLOCK_Q, D]
-        k = k_ref[0, 0]                       # [BLOCK_K, D]
+    def body(ki, carry):
+        m_prev, l_prev, acc = carry
+        k = k_ref[0, 0, pl.ds(ki * block_k, block_k), :]
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32) * sm_scale
 
+        needs_kv_mask = kv_len % block_k != 0
+        if causal or needs_kv_mask:
+            cols = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) \
+                + ki * block_k
         if causal:
-            rows = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0) \
-                + qi * block_q + q_offset
-            cols = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) \
-                + ki * block_k
+            rows = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0) + q_row0
             s = jnp.where(cols <= rows, s, MASK_VALUE)
-        if kv_len % block_k != 0:
-            # suppress zero-padded kv columns (non-tile-multiple kv length,
-            # e.g. the ViT's 257 patches): zero K rows score 0, not -inf.
-            # Only the last kv tile contains padding; others short-circuit
-            # on the iota compare (cols < kv_len is all-True there).
-            cols = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) \
-                + ki * block_k
+        if needs_kv_mask:
+            # suppress zero-padded kv columns (non-tile-multiple kv
+            # length): zero K rows score 0, not -inf
             s = jnp.where(cols < kv_len, s, MASK_VALUE)
 
-        m_prev = m_scr[:]
-        l_prev = l_scr[:]
         m_curr = jnp.max(s, axis=1, keepdims=True)            # [BQ, 1]
         m_next = jnp.maximum(m_prev, m_curr)
         alpha = jnp.exp(m_prev - m_next)
         p = jnp.exp(s - m_next)
         l_next = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
-        m_scr[:] = m_next
-        l_scr[:] = l_next
-
-        v = v_ref[0, 0]                       # [BLOCK_K, D]
-        acc_scr[:] = acc_scr[:] * alpha + jax.lax.dot(
+        v = v_ref[0, 0, pl.ds(ki * block_k, block_k), :]
+        acc = acc * alpha + jax.lax.dot(
             p.astype(v.dtype), v, preferred_element_type=jnp.float32)
+        return m_next, l_next, acc
 
-    @pl.when(ki == kv_tiles - 1)
-    def _store():
-        l = l_scr[:]
-        l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
-        o_ref[0, 0] = (acc_scr[:] * l_inv).astype(o_ref.dtype)
+    D = q_ref.shape[3]
+    init = (jnp.full((block_q, 1), -jnp.inf, jnp.float32),
+            jnp.zeros((block_q, 1), jnp.float32),
+            jnp.zeros((block_q, D), jnp.float32))
+    m, l, acc = jax.lax.fori_loop(0, hi, body, init)
+    l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
+    o_ref[0, 0] = (acc * l_inv).astype(o_ref.dtype)
+    # log-sum-exp per row, saved for the flash backward (rows that saw
+    # no kv tiles — fully-masked causal padding — get a finite dummy)
+    lse = jnp.where(l == 0.0, 0.0, m + jnp.log(l))
+    lse_ref[0, 0] = lse
 
 
 def _flash_fwd_bhsd(q, k, v, causal: bool, sm_scale: float, q_offset: int,
@@ -116,35 +132,37 @@ def _flash_fwd_bhsd(q, k, v, causal: bool, sm_scale: float, q_offset: int,
     ``kv_len`` = the real (pre-padding) kv length, masked in-kernel."""
     B, H, Sq, D = q.shape
     Sk = k.shape[2]
-    q_tiles, kv_tiles = Sq // block_q, Sk // block_k
+    q_tiles = Sq // block_q
 
-    grid = (B, H, q_tiles, kv_tiles)
+    grid = (B, H, q_tiles)
     kernel = functools.partial(_flash_kernel, causal=causal,
-                               sm_scale=sm_scale, kv_tiles=kv_tiles,
+                               sm_scale=sm_scale,
                                q_offset=q_offset, kv_len=kv_len,
                                block_q=block_q, block_k=block_k)
     return pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((B, H, Sq, D), q.dtype),
+        out_shape=[
+            jax.ShapeDtypeStruct((B, H, Sq, D), q.dtype),
+            # trailing dim 1 keeps the block 2D-tiled in-kernel (Mosaic
+            # requires the last two block dims divisible by (8, 128) OR
+            # equal to the array dims — 1 == 1 qualifies)
+            jax.ShapeDtypeStruct((B, H, Sq, 1), jnp.float32),   # lse
+        ],
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=0,
             grid=grid,
             in_specs=[
-                pl.BlockSpec((1, 1, block_q, D), lambda b, h, i, j: (b, h, i, 0)),
-                pl.BlockSpec((1, 1, block_k, D), lambda b, h, i, j: (b, h, j, 0)),
-                pl.BlockSpec((1, 1, block_k, D), lambda b, h, i, j: (b, h, j, 0)),
+                pl.BlockSpec((1, 1, block_q, D), lambda b, h, i: (b, h, i, 0)),
+                pl.BlockSpec((1, 1, Sk, D), lambda b, h, i: (b, h, 0, 0)),
+                pl.BlockSpec((1, 1, Sk, D), lambda b, h, i: (b, h, 0, 0)),
             ],
-            out_specs=pl.BlockSpec((1, 1, block_q, D),
-                                   lambda b, h, i, j: (b, h, i, 0)),
-            scratch_shapes=[
-                pltpu.VMEM((block_q, 1), jnp.float32),
-                pltpu.VMEM((block_q, 1), jnp.float32),
-                pltpu.VMEM((block_q, D), jnp.float32),
+            out_specs=[
+                pl.BlockSpec((1, 1, block_q, D), lambda b, h, i: (b, h, i, 0)),
+                pl.BlockSpec((1, 1, block_q, 1), lambda b, h, i: (b, h, i, 0)),
             ],
         ),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "parallel",
-                                 "arbitrary")),
+            dimension_semantics=("parallel", "parallel", "parallel")),
         interpret=_interpret(),
     )(q, k, v)
 
@@ -250,45 +268,219 @@ def _pad_to(x, axis, multiple):
     return jnp.pad(x, pads)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
-def _flash(q, k, v, causal, sm_scale, q_offset, block_q=BLOCK_Q,
-           block_k=BLOCK_K):
+def _flash_impl(q, k, v, causal, sm_scale, q_offset, block_q, block_k):
+    """-> (out [B, Sq, H, D], lse [B, H, Sq_padded] f32)."""
     B, Sq, H, D = q.shape
     Sk = k.shape[1]
     # to [B, H, S, D]; pad S to block multiples and D to the 128-lane
-    # boundary. For short sequences (the ViT's 257) pass block sizes that
-    # hold the WHOLE padded sequence: one program per (batch, head) —
-    # 128x128 tiling there spends more time on grid overhead + k/v
-    # re-reads than on math (measured 546 vs 419 ms full-encode).
+    # boundary. Padded kv columns (Sk not a 128 multiple, e.g. the ViT's
+    # 257) are masked INSIDE the kernel via kv_len — zero K rows would
+    # otherwise score 0 (not -inf) and leak weight into the softmax.
     qt = _pad_to(_pad_to(q.transpose(0, 2, 1, 3), 2, block_q), 3, 128)
     kt = _pad_to(_pad_to(k.transpose(0, 2, 1, 3), 2, block_k), 3, 128)
     vt = _pad_to(_pad_to(v.transpose(0, 2, 1, 3), 2, block_k), 3, 128)
-    # padded kv columns (Sk not a 128 multiple, e.g. the ViT's 257) are
-    # masked INSIDE the kernel via kv_len — zero K rows would otherwise
-    # score 0 (not -inf) and leak weight into the softmax.
-    out = _flash_fwd_bhsd(qt, kt, vt, causal, sm_scale, q_offset, Sk,
-                          block_q, block_k)
-    return out[:, :, :Sq, :D].transpose(0, 2, 1, 3)
+    out, lse = _flash_fwd_bhsd(qt, kt, vt, causal, sm_scale, q_offset, Sk,
+                               block_q, block_k)
+    return out[:, :, :Sq, :D].transpose(0, 2, 1, 3), lse
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
+def _flash(q, k, v, causal, sm_scale, q_offset, block_q=BLOCK_Q,
+           block_k=BLOCK_K):
+    return _flash_impl(q, k, v, causal, sm_scale, q_offset,
+                       block_q, block_k)[0]
 
 
 def _flash_fwd_rule(q, k, v, causal, sm_scale, q_offset,
                     block_q=BLOCK_Q, block_k=BLOCK_K):
-    return (_flash(q, k, v, causal, sm_scale, q_offset, block_q, block_k),
-            (q, k, v))
+    out, lse = _flash_impl(q, k, v, causal, sm_scale, q_offset,
+                           block_q, block_k)
+    return out, (q, k, v, out, lse)
+
+
+def _flash_bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+                         dq_ref, *, causal, sm_scale, kv_len,
+                         block_q, block_k):
+    qi = pl.program_id(2)
+    Sk = k_ref.shape[2]
+    kv_tiles = Sk // block_k
+    q = q_ref[0, 0]                           # [bq, D] bf16
+    do = do_ref[0, 0]                         # [bq, D]
+    lse = lse_ref[0, 0]                       # [bq, 1] f32
+    delta = delta_ref[0, 0]                   # [bq, 1] f32
+    q_row0 = qi * block_q
+    hi = jnp.minimum(kv_tiles, pl.cdiv(q_row0 + block_q, block_k)) \
+        if causal else kv_tiles
+
+    def body(ki, dq):
+        k = k_ref[0, 0, pl.ds(ki * block_k, block_k), :]
+        v = v_ref[0, 0, pl.ds(ki * block_k, block_k), :]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * sm_scale
+        needs_kv_mask = kv_len % block_k != 0
+        if causal or needs_kv_mask:
+            cols = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) \
+                + ki * block_k
+        if causal:
+            rows = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0) + q_row0
+            s = jnp.where(cols <= rows, s, MASK_VALUE)
+        if needs_kv_mask:
+            s = jnp.where(cols < kv_len, s, MASK_VALUE)
+        p = jnp.exp(s - lse)                  # [bq, bk] f32
+        dp = jax.lax.dot_general(
+            do, v, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        ds = p * (dp - delta)
+        return dq + jax.lax.dot_general(
+            ds.astype(q.dtype), k, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+    D = q_ref.shape[3]
+    dq = jax.lax.fori_loop(0, hi, body, jnp.zeros((block_q, D), jnp.float32))
+    dq_ref[0, 0] = (dq * sm_scale).astype(dq_ref.dtype)
+
+
+def _flash_bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+                          dk_ref, dv_ref, *, causal, sm_scale, kv_len,
+                          block_q, block_k):
+    ki = pl.program_id(2)
+    Sq = q_ref.shape[2]
+    q_tiles = Sq // block_q
+    k = k_ref[0, 0]                           # [bk, D]
+    v = v_ref[0, 0]
+    col0 = ki * block_k
+    # causal: first q tile whose rows reach this kv tile (block_q ==
+    # block_k enforced at dispatch, so tile index == ki)
+    lo = ki if causal else 0
+
+    def body(qi, carry):
+        dk, dv = carry
+        q = q_ref[0, 0, pl.ds(qi * block_q, block_q), :]
+        do = do_ref[0, 0, pl.ds(qi * block_q, block_q), :]
+        lse = lse_ref[0, 0, pl.ds(qi * block_q, block_q), :]
+        delta = delta_ref[0, 0, pl.ds(qi * block_q, block_q), :]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * sm_scale
+        needs_kv_mask = kv_len % block_k != 0
+        if causal or needs_kv_mask:
+            cols = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + col0
+        if causal:
+            rows = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0) \
+                + qi * block_q
+            s = jnp.where(cols <= rows, s, MASK_VALUE)
+        if needs_kv_mask:
+            s = jnp.where(cols < kv_len, s, MASK_VALUE)
+        p = jnp.exp(s - lse)
+        dv = dv + jax.lax.dot_general(
+            p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        dp = jax.lax.dot_general(
+            do, v, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        ds = p * (dp - delta)
+        dk = dk + jax.lax.dot_general(
+            ds.astype(q.dtype), q, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        return dk, dv
+
+    D = q_ref.shape[3]
+    zeros = jnp.zeros((block_k, D), jnp.float32)
+    dk, dv = jax.lax.fori_loop(lo, q_tiles, body, (zeros, zeros))
+    dk_ref[0, 0] = (dk * sm_scale).astype(dk_ref.dtype)
+    dv_ref[0, 0] = dv.astype(dv_ref.dtype)
+
+
+def _flash_bwd_bhsd(qt, kt, vt, dot_, lse, delta, causal, sm_scale,
+                    kv_len, block_q, block_k):
+    """All inputs [B, H, S*, D] padded (lse/delta [B, H, Sq_pad]) ->
+    (dq, dk, dv) in the same padded layout."""
+    B, H, Sq, D = qt.shape
+    Sk = kt.shape[2]
+    kern_kwargs = dict(causal=causal, sm_scale=sm_scale, kv_len=kv_len,
+                       block_q=block_q, block_k=block_k)
+    dq = pl.pallas_call(
+        functools.partial(_flash_bwd_dq_kernel, **kern_kwargs),
+        out_shape=jax.ShapeDtypeStruct((B, H, Sq, D), qt.dtype),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=0,
+            grid=(B, H, Sq // block_q),
+            in_specs=[
+                pl.BlockSpec((1, 1, block_q, D), lambda b, h, i: (b, h, i, 0)),
+                pl.BlockSpec((1, 1, Sk, D), lambda b, h, i: (b, h, 0, 0)),
+                pl.BlockSpec((1, 1, Sk, D), lambda b, h, i: (b, h, 0, 0)),
+                pl.BlockSpec((1, 1, block_q, D), lambda b, h, i: (b, h, i, 0)),
+                pl.BlockSpec((1, 1, block_q, 1), lambda b, h, i: (b, h, i, 0)),
+                pl.BlockSpec((1, 1, block_q, 1), lambda b, h, i: (b, h, i, 0)),
+            ],
+            out_specs=pl.BlockSpec((1, 1, block_q, D),
+                                   lambda b, h, i: (b, h, i, 0)),
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel")),
+        interpret=_interpret(),
+    )(qt, kt, vt, dot_, lse, delta)
+
+    dk, dv = pl.pallas_call(
+        functools.partial(_flash_bwd_dkv_kernel, **kern_kwargs),
+        out_shape=[
+            jax.ShapeDtypeStruct((B, H, Sk, D), kt.dtype),
+            jax.ShapeDtypeStruct((B, H, Sk, D), vt.dtype),
+        ],
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=0,
+            grid=(B, H, Sk // block_k),
+            in_specs=[
+                pl.BlockSpec((1, 1, Sq, D), lambda b, h, j: (b, h, 0, 0)),
+                pl.BlockSpec((1, 1, block_k, D), lambda b, h, j: (b, h, j, 0)),
+                pl.BlockSpec((1, 1, block_k, D), lambda b, h, j: (b, h, j, 0)),
+                pl.BlockSpec((1, 1, Sq, D), lambda b, h, j: (b, h, 0, 0)),
+                pl.BlockSpec((1, 1, Sq, 1), lambda b, h, j: (b, h, 0, 0)),
+                pl.BlockSpec((1, 1, Sq, 1), lambda b, h, j: (b, h, 0, 0)),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, 1, block_k, D), lambda b, h, j: (b, h, j, 0)),
+                pl.BlockSpec((1, 1, block_k, D), lambda b, h, j: (b, h, j, 0)),
+            ],
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel")),
+        interpret=_interpret(),
+    )(qt, kt, vt, dot_, lse, delta)
+    return dq, dk, dv
 
 
 def _flash_bwd_rule(causal, sm_scale, q_offset, block_q, block_k, res, g):
-    q, k, v = res
+    q, k, v, out, lse = res
+    B, Sq, H, D = q.shape
+    Sk = k.shape[1]
 
-    def ref(q, k, v):
-        from .attention import sliced_causal_mask
-        mask = None
-        if causal:
-            mask = sliced_causal_mask(q.shape[1], k.shape[1], q_offset)
-        return mha(q, k, v, mask=mask, scale=sm_scale)
+    # flash backward requires equal square tiles (causal lo-bound math)
+    # and no prefill offset; otherwise recompute through the XLA path
+    if q_offset != 0 or block_q != block_k:
+        def ref(q, k, v):
+            from .attention import sliced_causal_mask
+            mask = None
+            if causal:
+                mask = sliced_causal_mask(q.shape[1], k.shape[1], q_offset)
+            return mha(q, k, v, mask=mask, scale=sm_scale)
+        _, vjp = jax.vjp(ref, q, k, v)
+        return vjp(g)
 
-    _, vjp = jax.vjp(ref, q, k, v)
-    return vjp(g)
+    # delta_i = sum_d dO_id * O_id (fp32), padded alongside q rows
+    delta = jnp.sum(g.astype(jnp.float32) * out.astype(jnp.float32),
+                    axis=-1)                          # [B, Sq, H]
+    delta = _pad_to(delta.transpose(0, 2, 1), 2, block_q)[..., None]
+    qt = _pad_to(_pad_to(q.transpose(0, 2, 1, 3), 2, block_q), 3, 128)
+    kt = _pad_to(_pad_to(k.transpose(0, 2, 1, 3), 2, block_k), 3, 128)
+    vt = _pad_to(_pad_to(v.transpose(0, 2, 1, 3), 2, block_k), 3, 128)
+    gt = _pad_to(_pad_to(g.transpose(0, 2, 1, 3), 2, block_q), 3, 128)
+    dq, dk, dv = _flash_bwd_bhsd(qt, kt, vt, gt, lse, delta, causal,
+                                 sm_scale, Sk, block_q, block_k)
+    unpad = lambda t, S: t[:, :, :S, :D].transpose(0, 2, 1, 3)
+    return (unpad(dq, Sq).astype(q.dtype), unpad(dk, Sk).astype(k.dtype),
+            unpad(dv, Sk).astype(v.dtype))
 
 
 _flash.defvjp(_flash_fwd_rule, _flash_bwd_rule)
@@ -313,17 +505,19 @@ def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
         v = jnp.repeat(v, rep, axis=2)
 
     use_kernel = (Sq >= MIN_FLASH_SEQ and Sk >= MIN_FLASH_SEQ
-                  and D <= 256)
+                  and D <= 256 and Sk <= MAX_KERNEL_KV)
     if not use_kernel:
         from .attention import sliced_causal_mask
         mask = sliced_causal_mask(Sq, Sk, q_offset) if causal else None
         return mha(q, k, v, mask=mask, scale=scale)
 
     # non-causal short sequences (the ViT's 257): all-heads-per-program
-    # kernel — the tiled flash grid's per-program overhead dominates at
-    # this size (B*H sequential tiny programs; see _short_mha_kernel)
+    # kernel — per-(b,h) programs are too small at this size
+    # (see _short_mha_kernel)
     if (not causal and Sq <= 1024 and Sk <= 1024
             and _short_vmem_bytes(Sq, Sk, H, D) < 12 * 1024 * 1024):
         return _short_mha(q, k, v, scale)
 
-    return _flash(q, k, v, causal, scale, q_offset)
+    rnd = lambda s: -(-s // 128) * 128
+    return _flash(q, k, v, causal, scale, q_offset,
+                  min(BLOCK_Q, rnd(Sq)), min(BLOCK_K, rnd(Sk)))

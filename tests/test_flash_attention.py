@@ -105,6 +105,40 @@ class TestFlashBackward:
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        rtol=3e-3, atol=3e-3)
 
+    def test_grads_unaligned_causal(self):
+        """Padded q rows / kv cols must not leak into grads (S=300)."""
+        B, S, H, D = 1, 300, 2, 64
+        q, k, v = rand((B, S, H, D), 3), rand((B, S, H, D), 4), rand((B, S, H, D), 5)
+
+        def f_flash(q, k, v):
+            return jnp.sum(_flash(q, k, v, True, D ** -0.5, 0) ** 2)
+
+        def f_ref(q, k, v):
+            return jnp.sum(mha(q, k, v, mask=sliced_causal_mask(S, S, 0)) ** 2)
+
+        g1 = jax.grad(f_flash, argnums=(0, 1, 2))(q, k, v)
+        g2 = jax.grad(f_ref, argnums=(0, 1, 2))(q, k, v)
+        for a, b in zip(g1, g2):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=3e-3, atol=3e-3)
+
+    def test_grads_noncausal_unaligned_kv(self):
+        """The ViT shape through the generic kernel's backward."""
+        B, S, H, D = 1, 257, 2, 88
+        q, k, v = rand((B, S, H, D), 6), rand((B, S, H, D), 7), rand((B, S, H, D), 8)
+
+        def f_flash(q, k, v):
+            return jnp.sum(_flash(q, k, v, False, D ** -0.5, 0) ** 2)
+
+        def f_ref(q, k, v):
+            return jnp.sum(mha(q, k, v) ** 2)
+
+        g1 = jax.grad(f_flash, argnums=(0, 1, 2))(q, k, v)
+        g2 = jax.grad(f_ref, argnums=(0, 1, 2))(q, k, v)
+        for a, b in zip(g1, g2):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=3e-3, atol=3e-3)
+
 
 class TestFlashInLlama:
     def test_forward_flash_matches_xla(self):
