@@ -38,6 +38,13 @@ def main():
                     help="stage-2 image-distill head; reverse_qformer is the "
                          "reference training default "
                          "(blip2_qformer_codebook_all_image.py:84)")
+    # Pallas short-seq attention for the (frozen) EVA-ViT forward —
+    # measured 1.27x the bare ViT at S=257 (PERF.md round 2); grads
+    # never flow through the frozen tower, so numerics only shift the
+    # frozen features by the fp32-reassociation epsilon
+    ap.add_argument("--flash-vit", action="store_true", default=True)
+    ap.add_argument("--no-flash-vit", dest="flash_vit",
+                    action="store_false")
     ap.add_argument("--clip-ckpt", default=None,
                     help="frozen CLIP-ViT-H tower checkpoint for the stage-2 "
                          "distill target (random init if absent: smoke mode)")
@@ -73,6 +80,7 @@ def main():
         base_cfg = SEED_TOKENIZER
     tok_cfg = dataclasses.replace(
         base_cfg,
+        vit=dataclasses.replace(base_cfg.vit, use_flash=args.flash_vit),
         qformer=dataclasses.replace(base_cfg.qformer,
                                     with_text=(args.stage == 1)),
         with_recon_blocks=(args.stage == 2),
