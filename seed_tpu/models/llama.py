@@ -498,6 +498,77 @@ def slot_prefill(params, input_ids: jnp.ndarray, n_tokens: jnp.ndarray,
     return last, SlotCache(kv_new, new_len)
 
 
+def slot_prefill_at(params, input_ids: jnp.ndarray, n_tokens: jnp.ndarray,
+                    slot: jnp.ndarray, start: jnp.ndarray, cache: SlotCache,
+                    cfg: LlamaConfig) -> Tuple[jnp.ndarray, SlotCache]:
+    """Prefill a chunk into ONE slot at position ``start``, attending
+    over the slot's already-cached [0, start) prefix — the prefix-cache
+    admit path (vLLM-style shared-system-prompt reuse; the reference has
+    no equivalent). RoPE positions continue at ``start``. Returns the
+    slot's next-token logits [1, V] and the updated cache.
+
+    Differs from :func:`slot_prefill` (the start=0 fast path, which never
+    reads the cache): each layer reads the slot row, writes the chunk at
+    [start, start+N), and attends over the full row with the combined
+    prefix+causal mask ``col <= start + row  AND  col < start + n``."""
+    N = input_ids.shape[1]
+    S = cache.kv.shape[2]
+    hd = cfg.head_dim
+    x = L.embed(params["embed_tokens"], input_ids)
+    positions = start + jnp.arange(N, dtype=jnp.int32)[None, :]
+    col = jax.lax.broadcasted_iota(jnp.int32, (N, S), 1)
+    row = jax.lax.broadcasted_iota(jnp.int32, (N, S), 0)
+    mask = ((col <= start + row) & (col < start + n_tokens))[None, None]
+
+    def step(carry, inputs):
+        h, kv_all = carry
+        lp, i = inputs
+        B1 = h.shape[0]
+        hh = L.rms_norm(lp["input_layernorm"], h, cfg.rms_eps)
+        q = L.linear(lp["q_proj"], hh).reshape(B1, N, cfg.heads, hd)
+        kk = L.linear(lp["k_proj"], hh).reshape(B1, N, cfg.kv_heads, hd)
+        vv = L.linear(lp["v_proj"], hh).reshape(B1, N, cfg.kv_heads, hd)
+        q = rope(q, positions, cfg.rope_theta, cfg.rope_scaling,
+                 cfg.rope_scaling_factor)
+        kk = rope(kk, positions, cfg.rope_theta, cfg.rope_scaling,
+                  cfg.rope_scaling_factor)
+        ckv = jax.lax.dynamic_slice(
+            kv_all, (i, slot, 0, 0, 0),
+            (1, 1, S, cfg.kv_heads, 2 * hd))[0]           # [1, S, H, 2D]
+        kv_chunk = jnp.concatenate([kk, vv], axis=-1).astype(ckv.dtype)
+        ckv = jax.lax.dynamic_update_slice(ckv, kv_chunk, (0, start, 0, 0))
+        o = mha(q, ckv[..., :hd].astype(q.dtype),
+                ckv[..., hd:].astype(q.dtype), mask=mask)
+        h = h + L.linear(lp["o_proj"], o.reshape(B1, N, cfg.dim))
+        hn = L.rms_norm(lp["post_attention_layernorm"], h, cfg.rms_eps)
+        gate = jax.nn.silu(L.linear(lp["gate_proj"], hn))
+        h = h + L.linear(lp["down_proj"], gate * L.linear(lp["up_proj"], hn))
+        kv_all = jax.lax.dynamic_update_slice(kv_all, ckv[None],
+                                              (i, slot, 0, 0, 0))
+        return (h, kv_all), None
+
+    L_ = cache.kv.shape[0]
+    (x, kv_new), _ = jax.lax.scan(
+        step, (x, cache.kv),
+        (params["layers"], jnp.arange(L_, dtype=jnp.int32)))
+    logits = _logits(params, x, cfg)
+    last = jnp.take_along_axis(logits, (n_tokens - 1)[None, None, None],
+                               axis=1)[:, 0]
+    new_len = cache.length.at[slot].set(start + n_tokens)
+    return last, SlotCache(kv_new, new_len)
+
+
+def install_prefix(prefix_kv: jnp.ndarray, slot: jnp.ndarray,
+                   cache: SlotCache) -> SlotCache:
+    """Copy a precomputed prefix's fused kv [L, P, H_kv, 2D] into one
+    slot's rows [0, P); the slot length is set by the follow-up
+    :func:`slot_prefill_at`."""
+    kv = jax.lax.dynamic_update_slice(
+        cache.kv, prefix_kv[:, None].astype(cache.kv.dtype),
+        (0, slot, 0, 0, 0))
+    return SlotCache(kv, cache.length)
+
+
 def slot_decode(params, input_ids: jnp.ndarray, active: jnp.ndarray,
                 cache: SlotCache, cfg: LlamaConfig
                 ) -> Tuple[jnp.ndarray, SlotCache]:

@@ -50,6 +50,13 @@ class ContinuousBatcher:
         self.cache = M.init_slot_cache(cfg, slots, self.max_len, cache_dtype)
         self._prefill = jax.jit(functools.partial(M.slot_prefill, cfg=cfg),
                                 donate_argnums=(4,))
+        self._prefill_at = jax.jit(
+            functools.partial(M.slot_prefill_at, cfg=cfg),
+            donate_argnums=(5,))
+        self._install = jax.jit(M.install_prefix, donate_argnums=(2,))
+        # prefix cache: token-tuple -> fused kv [L, P, H_kv, 2D] on device
+        # (vLLM-style shared-system-prompt reuse; longest match wins)
+        self.prefixes: Dict[tuple, jnp.ndarray] = {}
         self._decode = jax.jit(functools.partial(M.slot_decode, cfg=cfg),
                                donate_argnums=(3,))
         # fused decode + per-slot sampling: one dispatch and ONE [slots]
@@ -77,6 +84,38 @@ class ContinuousBatcher:
         self.queue.append(Request(rid, list(prompt), gen))
         return rid
 
+    def register_prefix(self, prefix: Sequence[int]) -> None:
+        """Precompute + pin the KV for a shared prompt prefix (system
+        prompt). Future submits whose prompt starts with it skip its
+        prefill work: the KV is block-copied into the slot and only the
+        remainder runs through the model."""
+        prefix = tuple(prefix)
+        if prefix in self.prefixes or not prefix:
+            return
+        n = len(prefix)
+        bucket = self._bucket(n)
+        ids = np.zeros((1, bucket), np.int32)
+        ids[0, :n] = prefix[:bucket]
+        scratch = M.init_slot_cache(self.cfg, 1, self.max_len,
+                                    self.cache.kv.dtype)
+        _, scratch = self._prefill(
+            self.params, jnp.asarray(ids),
+            jnp.asarray(min(n, bucket), jnp.int32),
+            jnp.asarray(0, jnp.int32), scratch)
+        # pin [L, P, H_kv, 2D]; jnp slicing keeps it on device
+        self.prefixes[prefix] = scratch.kv[:, 0, :n]
+
+    def _match_prefix(self, prompt: List[int]):
+        """Longest registered prefix that is a strict prefix of prompt."""
+        best = None
+        for pref in self.prefixes:
+            p = len(pref)
+            if (p < len(prompt) and (best is None or p > best)
+                    and tuple(prompt[:p]) == pref):
+                best = p
+        return (best, self.prefixes[tuple(prompt[:best])]) \
+            if best is not None else None
+
     def has_work(self) -> bool:
         return bool(self.queue) or any(r is not None for r in self.active)
 
@@ -102,14 +141,30 @@ class ContinuousBatcher:
             if self.active[slot] is not None or not self.queue:
                 continue
             req = self.queue.popleft()
-            n = len(req.prompt)
-            bucket = self._bucket(n)
-            ids = np.zeros((1, bucket), np.int32)
-            ids[0, :n] = req.prompt[:bucket]
-            logits, self.cache = self._prefill(
-                self.params, jnp.asarray(ids),
-                jnp.asarray(min(n, bucket), jnp.int32),
-                jnp.asarray(slot, jnp.int32), self.cache)
+            hit = self._match_prefix(req.prompt)
+            if hit is not None:
+                start, pkv = hit
+                rest = req.prompt[start:]
+                n = len(rest)
+                bucket = self._bucket(n)
+                ids = np.zeros((1, bucket), np.int32)
+                ids[0, :n] = rest[:bucket]
+                self.cache = self._install(
+                    pkv, jnp.asarray(slot, jnp.int32), self.cache)
+                logits, self.cache = self._prefill_at(
+                    self.params, jnp.asarray(ids),
+                    jnp.asarray(min(n, bucket), jnp.int32),
+                    jnp.asarray(slot, jnp.int32),
+                    jnp.asarray(start, jnp.int32), self.cache)
+            else:
+                n = len(req.prompt)
+                bucket = self._bucket(n)
+                ids = np.zeros((1, bucket), np.int32)
+                ids[0, :n] = req.prompt[:bucket]
+                logits, self.cache = self._prefill(
+                    self.params, jnp.asarray(ids),
+                    jnp.asarray(min(n, bucket), jnp.int32),
+                    jnp.asarray(slot, jnp.int32), self.cache)
             tok = self._pick(logits, req, first=True)
             self.active[slot] = req
             self.next_tok[slot] = tok

@@ -120,3 +120,37 @@ class TestContinuousBatcher:
         eng = LlamaEngine(params, CFG, max_len=64, cache_dtype=jnp.float32)
         assert out[r1] == eng.generate([[1, 5, 9]], gen)[0]
         assert out[r2] == eng.generate([[2, 7, 4]], gen)[0]
+
+    def test_prefix_cache_exact_match(self, params):
+        """register_prefix + shared-prefix prompts produce exactly the
+        tokens of the uncached path (fp32 cache: identical math, the
+        chunk attends over the same prefix KV values)."""
+        gen = GenerationConfig(max_new_tokens=5, do_sample=False,
+                               eos_token_id=-1)
+        system = [7, 3, 9, 1]                   # shared "system prompt"
+        prompts = [system + [5, 2], system + [8], [4, 4, 2]]  # last: no hit
+
+        plain = ContinuousBatcher(params, CFG, slots=2, max_len=64,
+                                  cache_dtype=jnp.float32)
+        rids_p = [plain.submit(p, gen) for p in prompts]
+        want = plain.run()
+
+        cached = ContinuousBatcher(params, CFG, slots=2, max_len=64,
+                                   cache_dtype=jnp.float32)
+        cached.register_prefix(system)
+        assert tuple(system) in cached.prefixes
+        rids_c = [cached.submit(p, gen) for p in prompts]
+        got = cached.run()
+        for rp, rc, prompt in zip(rids_p, rids_c, prompts):
+            assert want[rp] == got[rc], prompt
+
+    def test_prefix_cache_longest_match_wins(self, params):
+        cb = ContinuousBatcher(params, CFG, slots=1, max_len=64,
+                               cache_dtype=jnp.float32)
+        cb.register_prefix([7, 3])
+        cb.register_prefix([7, 3, 9, 1])
+        hit = cb._match_prefix([7, 3, 9, 1, 5])
+        assert hit is not None and hit[0] == 4
+        # exact-length prompt: no strict prefix -> no hit
+        assert cb._match_prefix([7, 3, 9, 1]) == (2, cb.prefixes[(7, 3)])
+        assert cb._match_prefix([8, 8]) is None
