@@ -161,8 +161,10 @@ def block_apply(p, x: jnp.ndarray, cfg: ViTConfig) -> jnp.ndarray:
 
     h = L.layer_norm(p["norm1"], x, cfg.ln_eps)
     qkv = _lin(p["attn"]["qkv"], h, cfg)  # adds the full bias if present
-    if "q_bias" in p["attn"]:
-        # EVA: bias on q and v only; k bias fixed at zero (eva_vit.py:136-139)
+    if "q_bias" in p["attn"] and "bias" not in p["attn"]["qkv"]:
+        # EVA: bias on q and v only; k bias fixed at zero (eva_vit.py:136-139).
+        # Exclusive with a full qkv bias — a tree carrying both must not
+        # double-count q and v.
         bias = jnp.concatenate([p["attn"]["q_bias"],
                                 jnp.zeros_like(p["attn"]["q_bias"]),
                                 p["attn"]["v_bias"]])

@@ -504,8 +504,15 @@ def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
         k = jnp.repeat(k, rep, axis=2)
         v = jnp.repeat(v, rep, axis=2)
 
+    # whole k/v rows are double-buffered in VMEM at padded D: gate the
+    # admit by actual bytes (Sk*rnd(D) * 2B * {k,v} * double-buffer), not
+    # a fixed Sk cap — D=256 at Sk=8192 would be ~16MB and fail at Mosaic
+    # compile time rather than fall back.
+    rnd128 = lambda s: -(-s // 128) * 128
+    kv_vmem = rnd128(Sk) * rnd128(D) * 2 * 2 * 2
     use_kernel = (Sq >= MIN_FLASH_SEQ and Sk >= MIN_FLASH_SEQ
-                  and D <= 256 and Sk <= MAX_KERNEL_KV)
+                  and D <= 256 and Sk <= MAX_KERNEL_KV
+                  and kv_vmem <= 12 * 1024 * 1024)
     if not use_kernel:
         from .attention import sliced_causal_mask
         mask = sliced_causal_mask(Sq, Sk, q_offset) if causal else None

@@ -109,11 +109,13 @@ def pipeline_llama_loss(params, input_ids: jnp.ndarray, cfg,
     """Next-token LM loss for the stacked-layer LLaMA, pipelined over
     ``pipe`` (layers split into stages) and data-parallel over ``data``.
 
-    Embedding and lm_head are computed replicated on every stage: at pp
-    scale both are FSDP-sharded anyway and their FLOPs are <2% of the
-    stack. The per-layer FSDP/TP shardings of ``params["layers"]`` apply
-    to the non-leading dims exactly as without pp — the leading [L] dim
-    shards over ``pipe``.
+    Embedding and lm_head are computed replicated on every stage (their
+    FLOPs are <2% of the stack). Weight residency: ``in_specs`` maps the
+    stacked layers to ``P(PIPE_AXIS)`` on the leading [L] dim and
+    everything else to ``P()`` — i.e. each stage's weights are REPLICATED
+    across any fsdp/tensor axes in the mesh inside its pipe group. Memory
+    scales 1/pp only; composing per-layer FSDP gathering inside the stage
+    scan is a separate strategy (see ``pipeline_fsdp_llama_loss``).
 
     Returns the scalar mean loss (same value on every device).
     """
@@ -153,5 +155,86 @@ def pipeline_llama_loss(params, input_ids: jnp.ndarray, cfg,
         logits = M._logits(p, h, cfg)
         loss = next_token_loss(logits, ids)
         return jax.lax.pmean(loss, "data")
+
+    return run(params, input_ids)
+
+
+def _fsdp_gather_dim(per_layer_shape, fsdp: int) -> int:
+    """Which per-layer dim the fsdp axis shards (mirrors
+    ``partition._auto_fsdp_spec``: largest divisible dim); -1 = replicate."""
+    order = sorted(range(len(per_layer_shape)),
+                   key=lambda i: -per_layer_shape[i])
+    for i in order:
+        if per_layer_shape[i] % fsdp == 0 and per_layer_shape[i] >= 2 * fsdp:
+            return i
+    return -1
+
+
+def pipeline_fsdp_llama_loss(params, input_ids: jnp.ndarray, cfg,
+                             mesh, num_microbatches: int) -> jnp.ndarray:
+    """:func:`pipeline_llama_loss` with REAL weight sharding inside each
+    stage: the stacked layers split over ``pipe`` on [L] AND shard their
+    largest per-layer dim over ``fsdp``; each layer is all-gathered
+    just-in-time inside the stage scan (ZeRO-3), so its autodiff
+    transpose reduce-scatters the grads back — per-device layer
+    residency is L/pp/fsdp instead of L/pp. The batch shards over
+    (data, fsdp) jointly, like the flat-FSDP trainer. Embedding/lm_head
+    stay replicated (<2% of 8B FLOPs/bytes; shard them via the flat
+    trainer if they ever dominate)."""
+    from ..models import llama as M
+    from ..models import layers as L
+    from ..ops.attention import sliced_causal_mask
+    from ..train.losses import next_token_loss
+    from .mesh import DATA_AXIS, FSDP_AXIS
+
+    fsdp = mesh.shape[FSDP_AXIS]
+    B, N = input_ids.shape
+    shards = mesh.shape[DATA_AXIS] * fsdp
+    if B % (shards * num_microbatches) != 0:
+        raise ValueError(
+            f"batch {B} not divisible by data*fsdp*M={shards}*"
+            f"{num_microbatches}")
+
+    positions = jnp.arange(N, dtype=jnp.int32)
+    mask = sliced_causal_mask(N, N, 0)
+
+    # per-leaf fsdp dim, decided on GLOBAL per-layer shapes (static)
+    gather_dims = jax.tree.map(
+        lambda w: _fsdp_gather_dim(w.shape[1:], fsdp), params["layers"])
+
+    def layer_fn(lp, h):
+        full = jax.tree.map(
+            lambda w, d: w if d < 0 else jax.lax.all_gather(
+                w, FSDP_AXIS, axis=d, tiled=True),
+            lp, gather_dims)
+        out, _ = M._layer_apply(full, h, positions, mask, cfg)
+        return out
+
+    def lspec(w, d):
+        spec = [None] * w.ndim
+        spec[0] = PIPE_AXIS
+        if d >= 0:
+            spec[1 + d] = FSDP_AXIS
+        return P(*spec)
+
+    layer_specs = jax.tree.map(lspec, params["layers"], gather_dims)
+    specs = {k: (layer_specs if k == "layers"
+                 else jax.tree.map(lambda _: P(), v))
+             for k, v in params.items()}
+
+    @functools.partial(
+        shard_map, mesh=mesh,
+        in_specs=(specs, P((DATA_AXIS, FSDP_AXIS))),
+        out_specs=P(),
+        check_rep=False)
+    def run(p, ids):
+        x = L.embed(p["embed_tokens"], ids)
+        Mb = ids.shape[0] // num_microbatches
+        x_mb = x.reshape(num_microbatches, Mb, N, -1)
+        h_mb = pipeline_forward(layer_fn, p["layers"], x_mb)
+        h = h_mb.reshape(ids.shape[0], N, -1)
+        logits = M._logits(p, h, cfg)
+        loss = next_token_loss(logits, ids)
+        return jax.lax.pmean(loss, (DATA_AXIS, FSDP_AXIS))
 
     return run(params, input_ids)

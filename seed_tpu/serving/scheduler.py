@@ -79,6 +79,10 @@ class ContinuousBatcher:
 
     def submit(self, prompt: Sequence[int],
                gen: Optional[GenerationConfig] = None) -> int:
+        if len(prompt) >= self.max_len:
+            raise ValueError(
+                f"prompt of {len(prompt)} tokens exceeds max_len="
+                f"{self.max_len} (no room to generate)")
         gen = gen or GenerationConfig()
         rid = next(self._id_counter)
         self.queue.append(Request(rid, list(prompt), gen))
@@ -88,20 +92,18 @@ class ContinuousBatcher:
         """Precompute + pin the KV for a shared prompt prefix (system
         prompt). Future submits whose prompt starts with it skip its
         prefill work: the KV is block-copied into the slot and only the
-        remainder runs through the model."""
+        remainder runs through the model. Prefixes longer than the
+        largest prompt bucket are prefilled in multiple chunks."""
         prefix = tuple(prefix)
         if prefix in self.prefixes or not prefix:
             return
         n = len(prefix)
-        bucket = self._bucket(n)
-        ids = np.zeros((1, bucket), np.int32)
-        ids[0, :n] = prefix[:bucket]
+        if n >= self.max_len:
+            raise ValueError(
+                f"prefix of {n} tokens exceeds max_len={self.max_len}")
         scratch = M.init_slot_cache(self.cfg, 1, self.max_len,
                                     self.cache.kv.dtype)
-        _, scratch = self._prefill(
-            self.params, jnp.asarray(ids),
-            jnp.asarray(min(n, bucket), jnp.int32),
-            jnp.asarray(0, jnp.int32), scratch)
+        _, scratch = self._chunked_prefill(list(prefix), 0, 0, scratch)
         # pin [L, P, H_kv, 2D]; jnp slicing keeps it on device
         self.prefixes[prefix] = scratch.kv[:, 0, :n]
 
@@ -135,6 +137,45 @@ class ContinuousBatcher:
                 return b
         return self.buckets[-1]
 
+    def _chunked_prefill(self, tokens: List[int], slot: int, start: int,
+                         cache):
+        """Prefill ``tokens[start:]`` into ``slot`` in bucket-sized chunks
+        (positions [0, start) must already hold cached KV — the prefix-hit
+        path). Prompts longer than the largest bucket take multiple
+        dispatches; a chunk whose bucket would overrun the cache end
+        SLIDES BACK so it ends exactly at max_len, re-listing (and
+        recomputing — deterministic, so bit-identical) the overlapping
+        already-cached tokens instead of letting dynamic_update_slice
+        clamp the write offset and corrupt the prefix tail.
+
+        Returns (last-token logits [1, V], cache)."""
+        S = self.max_len
+        n_total = len(tokens)
+        pos = start
+        logits = None
+        while pos < n_total:
+            n = min(n_total - pos, self.buckets[-1])
+            bucket = self._bucket(n)
+            chunk_start = pos
+            if chunk_start + bucket > S:
+                chunk_start = S - bucket      # slide back; overlap recomputed
+            n_eff = pos + n - chunk_start     # real tokens incl. overlap
+            ids = np.zeros((1, bucket), np.int32)
+            ids[0, :n_eff] = tokens[chunk_start:pos + n]
+            if chunk_start == 0:
+                logits, cache = self._prefill(
+                    self.params, jnp.asarray(ids),
+                    jnp.asarray(n_eff, jnp.int32),
+                    jnp.asarray(slot, jnp.int32), cache)
+            else:
+                logits, cache = self._prefill_at(
+                    self.params, jnp.asarray(ids),
+                    jnp.asarray(n_eff, jnp.int32),
+                    jnp.asarray(slot, jnp.int32),
+                    jnp.asarray(chunk_start, jnp.int32), cache)
+            pos += n
+        return logits, cache
+
     def _admit(self):
         """Prefill queued requests into free slots."""
         for slot in range(self.slots):
@@ -144,27 +185,12 @@ class ContinuousBatcher:
             hit = self._match_prefix(req.prompt)
             if hit is not None:
                 start, pkv = hit
-                rest = req.prompt[start:]
-                n = len(rest)
-                bucket = self._bucket(n)
-                ids = np.zeros((1, bucket), np.int32)
-                ids[0, :n] = rest[:bucket]
                 self.cache = self._install(
                     pkv, jnp.asarray(slot, jnp.int32), self.cache)
-                logits, self.cache = self._prefill_at(
-                    self.params, jnp.asarray(ids),
-                    jnp.asarray(min(n, bucket), jnp.int32),
-                    jnp.asarray(slot, jnp.int32),
-                    jnp.asarray(start, jnp.int32), self.cache)
             else:
-                n = len(req.prompt)
-                bucket = self._bucket(n)
-                ids = np.zeros((1, bucket), np.int32)
-                ids[0, :n] = req.prompt[:bucket]
-                logits, self.cache = self._prefill(
-                    self.params, jnp.asarray(ids),
-                    jnp.asarray(min(n, bucket), jnp.int32),
-                    jnp.asarray(slot, jnp.int32), self.cache)
+                start = 0
+            logits, self.cache = self._chunked_prefill(
+                req.prompt, slot, start, self.cache)
             tok = self._pick(logits, req, first=True)
             self.active[slot] = req
             self.next_tok[slot] = tok

@@ -144,6 +144,66 @@ class TestContinuousBatcher:
         for rp, rc, prompt in zip(rids_p, rids_c, prompts):
             assert want[rp] == got[rc], prompt
 
+    def test_long_prompt_chunked_prefill(self, params):
+        """Prompts longer than the largest bucket are prefilled in
+        multiple chunks and match the solo engine exactly (the round-2
+        code silently truncated them to buckets[-1])."""
+        gen = GenerationConfig(max_new_tokens=4, do_sample=False,
+                               eos_token_id=-1)
+        prompt = [(i * 7 + 3) % 50 for i in range(19)]   # 19 > bucket 8
+        cb = ContinuousBatcher(params, CFG, slots=2, max_len=64,
+                               prompt_buckets=(4, 8),
+                               cache_dtype=jnp.float32)
+        rid = cb.submit(prompt, gen)
+        out = cb.run()
+        eng = LlamaEngine(params, CFG, max_len=64, cache_dtype=jnp.float32)
+        assert out[rid] == eng.generate([prompt], gen)[0]
+
+    def test_long_prefix_chunked_register(self, params):
+        """A registered prefix longer than the largest bucket is fully
+        prefilled (round 2 pinned never-written zero KV past bucket[-1])."""
+        gen = GenerationConfig(max_new_tokens=4, do_sample=False,
+                               eos_token_id=-1)
+        system = [(i * 5 + 1) % 40 for i in range(13)]   # 13 > bucket 8
+        prompt = system + [6, 2]
+
+        plain = ContinuousBatcher(params, CFG, slots=1, max_len=64,
+                                  prompt_buckets=(4, 8),
+                                  cache_dtype=jnp.float32)
+        rp = plain.submit(prompt, gen)
+        want = plain.run()[rp]
+
+        cached = ContinuousBatcher(params, CFG, slots=1, max_len=64,
+                                   prompt_buckets=(4, 8),
+                                   cache_dtype=jnp.float32)
+        cached.register_prefix(system)
+        # the pinned KV must cover the WHOLE prefix, not just bucket[-1]
+        assert cached.prefixes[tuple(system)].shape[1] == len(system)
+        rc = cached.submit(prompt, gen)
+        assert cached.run()[rc] == want
+
+    def test_chunk_slides_back_at_cache_end(self, params):
+        """A chunk whose bucket would overrun max_len slides back and
+        recomputes the overlap instead of corrupting the cached tail."""
+        gen = GenerationConfig(max_new_tokens=1, do_sample=False,
+                               eos_token_id=-1)
+        prompt = [(i * 3 + 2) % 45 for i in range(29)]   # 24+8 > 30 -> slide
+        cb = ContinuousBatcher(params, CFG, slots=1, max_len=30,
+                               prompt_buckets=(4, 8),
+                               cache_dtype=jnp.float32)
+        rid = cb.submit(prompt, gen)
+        out = cb.run()
+        eng = LlamaEngine(params, CFG, max_len=30, cache_dtype=jnp.float32)
+        assert out[rid] == eng.generate([prompt], gen)[0]
+
+    def test_submit_rejects_overlong_prompt(self, params):
+        cb = ContinuousBatcher(params, CFG, slots=1, max_len=16,
+                               cache_dtype=jnp.float32)
+        with pytest.raises(ValueError):
+            cb.submit(list(range(16)))
+        with pytest.raises(ValueError):
+            cb.register_prefix(list(range(16)))
+
     def test_prefix_cache_longest_match_wins(self, params):
         cb = ContinuousBatcher(params, CFG, slots=1, max_len=64,
                                cache_dtype=jnp.float32)
