@@ -44,6 +44,26 @@ def main():
     ap.add_argument("--save-steps", type=int, default=1000)
     ap.add_argument("--log-steps", type=int, default=50)
     ap.add_argument("--seed", type=int, default=42)
+    ap.add_argument("--resume", action="store_true",
+                    help="restore the latest full TrainState (params + "
+                         "AdamW moments + step) from <output>/state and "
+                         "continue; data streams are resampled "
+                         "(ignore-data-skip semantics, as the reference "
+                         "launch scripts)")
+    # eval-during-training (CustomTrainer.evaluate cadence,
+    # MultiModalLLM/src/train/trainer.py:184-245): generation + caption
+    # metrics on a held-out pretokenized prompt set at every save point
+    ap.add_argument("--eval-data", default=None,
+                    help="json(l) of {'input_ids': [...], 'image_id': i} "
+                         "pretokenized eval prompts")
+    ap.add_argument("--eval-annotations", default=None,
+                    help="json {image_id: [reference captions]}")
+    ap.add_argument("--eval-batches", type=int, default=50)
+    ap.add_argument("--eval-batch-size", type=int, default=8)
+    ap.add_argument("--eval-max-new-tokens", type=int, default=32)
+    ap.add_argument("--eval-num-beams", type=int, default=1,
+                    help="beam width for eval generation (the reference "
+                         "evaluates with num_beams=5, trainer.py:292-294)")
     args = ap.parse_args()
 
     import jax
@@ -125,18 +145,77 @@ def main():
 
     data = Prefetcher(batch_stream(), depth=2)
     mgr = CheckpointManager(args.output)
+    state_mgr = CheckpointManager(os.path.join(args.output, "state"),
+                                  max_to_keep=2)
 
     def log(step, metrics):
         print(f"step {step}: " + " ".join(f"{k}={v:.4f}"
                                           for k, v in metrics.items()),
               flush=True)
 
+    def run_eval():
+        """Generation + caption metrics on the held-out prompts; returns
+        the score dict or None when no eval set is configured."""
+        if not (args.eval_data and args.eval_annotations):
+            return None
+        import json
+
+        from seed_tpu.eval.caption_eval import evaluate_captions
+        from seed_tpu.eval.eval_readers import iter_json_records
+        from seed_tpu.serving import GenerationConfig, LlamaEngine
+        merged = (apply_lora(trainer.state.params["base"],
+                             trainer.state.params["lora"])
+                  if args.lora else trainer.state.params)
+        eng = LlamaEngine(merged, cfg, max_len=args.max_length)
+        gcfg = GenerationConfig(max_new_tokens=args.eval_max_new_tokens,
+                                do_sample=False,
+                                num_beams=args.eval_num_beams,
+                                eos_token_id=tok.eos_token_id)
+
+        def gen_fn(prompts):
+            return eng.generate(prompts, gcfg)
+
+        def stream():
+            buf_ids, buf_img = [], []
+            for rec in iter_json_records(args.eval_data):
+                buf_ids.append([int(t) for t in rec["input_ids"]])
+                buf_img.append(rec["image_id"])
+                if len(buf_ids) == args.eval_batch_size:
+                    yield {"input_ids": buf_ids, "image_id": buf_img}
+                    buf_ids, buf_img = [], []
+            if buf_ids:
+                yield {"input_ids": buf_ids, "image_id": buf_img}
+
+        with open(args.eval_annotations) as f:
+            ann = {int(k): v for k, v in json.load(f).items()}
+        return evaluate_captions(gen_fn, tok.decode, stream(), ann,
+                                 max_batches=args.eval_batches)
+
     rng = jax.random.PRNGKey(args.seed)
-    for start in range(0, args.steps, args.save_steps):
+    start0 = 0
+    if args.resume:
+        restored = trainer.restore_state(state_mgr)
+        if restored is not None:
+            start0 = restored
+            print(f"resumed from step {restored}", flush=True)
+    best_metric = None
+    for start in range(start0, args.steps, args.save_steps):
         n = min(args.save_steps, args.steps - start)
         trainer.cfg.log_every = args.log_steps
         trainer.train(data, n, rng=jax.random.fold_in(rng, start), log_fn=log)
-        mgr.save(int(trainer.state.step), trainer.state.params)
+        scores = run_eval()
+        is_best = False
+        if scores:
+            # CIDEr is the reference's model-selection metric; fall back
+            # to BLEU-4 when the pycocoeval-equivalent returns nothing
+            key_metric = scores.get("cider", scores.get("bleu4", 0.0))
+            is_best = best_metric is None or key_metric > best_metric
+            best_metric = key_metric if is_best else best_metric
+            log(int(trainer.state.step),
+                {f"eval_{k}": v for k, v in scores.items()})
+        trainer.save_state(state_mgr)                       # operational
+        mgr.save(int(trainer.state.step), trainer.state.params,
+                 is_best=is_best)                           # deployment
     print("training done")
 
 

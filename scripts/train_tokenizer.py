@@ -33,6 +33,13 @@ def main():
     ap.add_argument("--output", required=True)
     ap.add_argument("--save-steps", type=int, default=5000)
     ap.add_argument("--seed", type=int, default=42)
+    ap.add_argument("--resume", action="store_true",
+                    help="restore model+optimizer+step from <output>/state "
+                         "and continue (runner_base.py:656-692 semantics)")
+    ap.add_argument("--eval-data", default=None,
+                    help="held-out tar glob: eval loss at every save point "
+                         "drives is_best checkpointing")
+    ap.add_argument("--eval-batches", type=int, default=8)
     ap.add_argument("--distill-head", choices=["reverse_qformer", "image_down"],
                     default="reverse_qformer",
                     help="stage-2 image-distill head; reverse_qformer is the "
@@ -191,19 +198,59 @@ def main():
                                              args.seed),
                               args.batch_size, collate), depth=2)
     mgr = CheckpointManager(args.output)
+    state_mgr = CheckpointManager(os.path.join(args.output, "state"),
+                                  max_to_keep=2)
     rng = jax.random.PRNGKey(args.seed)
 
     def log(step, m):
         print(f"step {step}: " + " ".join(f"{k}={v:.4f}" for k, v in m.items()),
               flush=True)
 
-    for start in range(0, args.steps, args.save_steps):
+    eval_loss_fn = jax.jit(loss_fn)
+
+    def run_eval():
+        """Held-out loss (the LAVIS runner's val-split evaluation,
+        runner_base.py:446-480: agg metric drives best-ckpt tracking)."""
+        if not args.eval_data:
+            return None
+        def ex_stream():
+            for s in tar_source(args.eval_data, decode=decode_image_text,
+                                cycle_count=1, seed=args.seed):
+                img = s["image"].resize((args.image_size, args.image_size))
+                yield {"pixels": np.asarray(img, np.uint8),
+                       "text": s.get("text", ""),
+                       "clip_embed": s.get("clip_embed")}
+        losses = []
+        erng = jax.random.PRNGKey(0)
+        for i, batch in enumerate(batched(ex_stream(), args.batch_size,
+                                          collate)):
+            if i >= args.eval_batches:
+                break
+            losses.append(float(eval_loss_fn(
+                trainer.state.params, batch, jax.random.fold_in(erng, i))))
+        return float(np.mean(losses)) if losses else None
+
+    start0 = 0
+    if args.resume:
+        restored = trainer.restore_state(state_mgr)
+        if restored is not None:
+            start0 = restored
+            print(f"resumed from step {restored}", flush=True)
+    best_loss = None
+    for start in range(start0, args.steps, args.save_steps):
         n = min(args.save_steps, args.steps - start)
         trainer.train(data, n, rng=jax.random.fold_in(rng, start), log_fn=log)
+        eval_loss = run_eval()
+        is_best = False
+        if eval_loss is not None:
+            is_best = best_loss is None or eval_loss < best_loss
+            best_loss = eval_loss if is_best else best_loss
+            log(int(trainer.state.step), {"eval_loss": eval_loss})
+        trainer.save_state(state_mgr)            # full operational state
         # requires-grad-filtered checkpoint (trainable params only,
         # runner_base.py:418-424); restore merges over a fresh full tree
         trainable = filter_tree(trainer.state.params, trainable_pat)
-        mgr.save(int(trainer.state.step), trainable)
+        mgr.save(int(trainer.state.step), trainable, is_best=is_best)
     print("training done")
 
 

@@ -143,6 +143,38 @@ class Trainer:
         self.state, metrics = self._step(self.state, batch, rng)
         return metrics
 
+    # -------- full-state checkpointing (params + opt moments + step) -------
+    # The reference restores model+optimizer+scaler+epoch on resume (LAVIS
+    # runner_base.py:656-692; HF Trainer resume_from_checkpoint,
+    # MultiModalLLM/src/train/train.py:157). Deployment exports (filtered
+    # params-only) are the entries' concern; these two methods own the
+    # operational resume state.
+
+    def _state_dict(self):
+        return {"step": self.state.step, "params": self.state.params,
+                "opt_state": self.state.opt_state}
+
+    def save_state(self, mgr, is_best: bool = False) -> str:
+        """Save the FULL TrainState through a CheckpointManager — a
+        preempted run restarts warm (AdamW moments + LR-schedule step)."""
+        return mgr.save(int(self.state.step), self._state_dict(),
+                        is_best=is_best)
+
+    def restore_state(self, mgr) -> Optional[int]:
+        """Restore the latest full TrainState; returns the restored step
+        (None if the directory holds no checkpoints). Arrays land with
+        this trainer's shardings."""
+        tmpl = self._state_dict()
+        shardings = {"step": self.state_shardings.step,
+                     "params": self.state_shardings.params,
+                     "opt_state": self.state_shardings.opt_state}
+        step, restored = mgr.restore_latest(tmpl, shardings)
+        if step is None:
+            return None
+        self.state = TrainState(restored["step"], restored["params"],
+                                restored["opt_state"])
+        return step
+
     def train(self, data_iter, num_steps: int, rng=None,
               log_fn: Optional[Callable] = None) -> Dict[str, float]:
         rng = rng if rng is not None else jax.random.PRNGKey(0)

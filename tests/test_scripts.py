@@ -67,6 +67,40 @@ def test_train_llm_pretrain_smoke(tmp_path):
 
 
 @pytest.mark.slow
+def test_train_llm_resume_and_eval_smoke(tmp_path):
+    """Kill/restart: run 2 steps + save, relaunch with --resume for 2
+    more; the second process must start at step 2 and reach 4. In-loop
+    caption eval runs at each save point (beam search, num_beams=2)."""
+    shard = tmp_path / "data_000.tar"
+    write_pkl_tar(str(shard))
+    # tiny pretokenized eval prompts + annotations
+    eval_data = tmp_path / "eval.jsonl"
+    with open(eval_data, "w") as f:
+        for i in range(4):
+            f.write(json.dumps({"input_ids": [3 + i, 10, 20], "image_id": i})
+                    + "\n")
+    ann = tmp_path / "ann.json"
+    with open(ann, "w") as f:
+        json.dump({str(i): [f"caption {i}"] for i in range(4)}, f)
+    common = ["scripts/train_llm.py", "--data", str(tmp_path / "data_*.tar"),
+              "--model", "tiny", "--batch-size", "4",
+              "--max-length", "64", "--save-steps", "2", "--log-steps", "1",
+              "--eval-data", str(eval_data), "--eval-annotations", str(ann),
+              "--eval-batch-size", "2", "--eval-max-new-tokens", "4",
+              "--eval-num-beams", "2",
+              "--output", str(tmp_path / "out")]
+    r = run(common + ["--steps", "2"])
+    assert r.returncode == 0, r.stderr[-3000:]
+    assert "eval_" in r.stdout       # eval metrics logged
+    assert (tmp_path / "out" / "state" / "step_2").exists()
+    r2 = run(common + ["--steps", "4", "--resume"])
+    assert r2.returncode == 0, r2.stderr[-3000:]
+    assert "resumed from step 2" in r2.stdout
+    assert (tmp_path / "out" / "state" / "step_4").exists()
+    assert (tmp_path / "out" / "best").exists()   # is_best tracking
+
+
+@pytest.mark.slow
 def test_train_tokenizer_stage1_smoke(tmp_path):
     shard = tmp_path / "img_000.tar"
     write_img_tar(str(shard))
@@ -76,6 +110,25 @@ def test_train_tokenizer_stage1_smoke(tmp_path):
              "--save-steps", "2", "--output", str(tmp_path / "out1")])
     assert r.returncode == 0, r.stderr[-3000:]
     assert "training done" in r.stdout
+
+
+@pytest.mark.slow
+def test_train_tokenizer_resume_and_eval_smoke(tmp_path):
+    shard = tmp_path / "img_000.tar"
+    write_img_tar(str(shard))
+    common = ["scripts/train_tokenizer.py", "--stage", "1", "--arch", "tiny",
+              "--data", str(tmp_path / "img_*.tar"),
+              "--eval-data", str(tmp_path / "img_*.tar"),
+              "--eval-batches", "1", "--batch-size", "4",
+              "--save-steps", "2", "--output", str(tmp_path / "out1")]
+    r = run(common + ["--steps", "2"])
+    assert r.returncode == 0, r.stderr[-3000:]
+    assert "eval_loss" in r.stdout
+    r2 = run(common + ["--steps", "4", "--resume"])
+    assert r2.returncode == 0, r2.stderr[-3000:]
+    assert "resumed from step 2" in r2.stdout
+    assert (tmp_path / "out1" / "state" / "step_4").exists()
+    assert (tmp_path / "out1" / "best").exists()
 
 
 @pytest.mark.slow

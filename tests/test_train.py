@@ -179,6 +179,58 @@ class TestShardedTraining:
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        rtol=2e-4, atol=2e-5)
 
+    def test_resume_continues_exactly(self, tmp_path):
+        """Kill/restart mid-run: save full state at step 3, rebuild the
+        trainer from scratch, restore, run 2 more steps — params and step
+        count must match a 5-step uninterrupted run (same data + rng).
+        Proves opt_state (AdamW moments) and the schedule step survive."""
+        from seed_tpu.utils.checkpoint import CheckpointManager
+        mesh = make_mesh(dp=1, fsdp=8, tp=1)
+        params = M.init_llama(jax.random.PRNGKey(0), CFG, dtype=jnp.float32)
+
+        def make_tr():
+            opt = adamw(cosine_with_floor(1e-3, 2, 10), params=params,
+                        weight_decay=0.01)
+            return Trainer(loss_fn, params, opt, mesh, rules=LLAMA_TP_RULES)
+
+        batches = [make_batch(seed=i) for i in range(5)]
+        rngs = [jax.random.PRNGKey(100 + i) for i in range(5)]
+
+        ref = make_tr()
+        for b, r in zip(batches, rngs):
+            ref.step(b, r)
+
+        mgr = CheckpointManager(str(tmp_path / "state"))
+        tr = make_tr()
+        for b, r in zip(batches[:3], rngs[:3]):
+            tr.step(b, r)
+        tr.save_state(mgr)
+        del tr
+
+        tr2 = make_tr()                      # cold process restart
+        assert tr2.restore_state(mgr) == 3
+        assert int(tr2.state.step) == 3
+        for b, r in zip(batches[3:], rngs[3:]):
+            tr2.step(b, r)
+
+        assert int(tr2.state.step) == int(ref.state.step) == 5
+        for a, b in zip(jax.tree.leaves(ref.state.params),
+                        jax.tree.leaves(tr2.state.params)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-6, atol=1e-7)
+        # AdamW second moments survive too (not just params)
+        for a, b in zip(jax.tree.leaves(ref.state.opt_state),
+                        jax.tree.leaves(tr2.state.opt_state)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-6, atol=1e-8)
+
+    def test_restore_state_empty_dir_returns_none(self, tmp_path):
+        from seed_tpu.utils.checkpoint import CheckpointManager
+        mesh = make_mesh(dp=1, fsdp=8, tp=1)
+        params = M.init_llama(jax.random.PRNGKey(0), CFG, dtype=jnp.float32)
+        tr = Trainer(loss_fn, params, optax.sgd(0.1), mesh)
+        assert tr.restore_state(CheckpointManager(str(tmp_path))) is None
+
     def test_param_specs_tp_rules(self):
         params = M.init_llama(jax.random.PRNGKey(0), CFG, dtype=jnp.float32)
         mesh = make_mesh(dp=1, fsdp=4, tp=2)
