@@ -404,6 +404,83 @@ def decode_loop(params, tok: jnp.ndarray, cache: KVCache, key: jax.Array,
     return toks.T, done, cache, key
 
 
+_BEAM_NEG = -1.0e30   # fp32-safe "-inf" for dead beams
+
+
+def beam_loop(params, tok0: jnp.ndarray, scores0: jnp.ndarray,
+              cache: KVCache, cfg: LlamaConfig, *, steps: int,
+              eos_id: int = 2, length_penalty: float = 1.0
+              ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """In-graph beam search over the ring cache (one compiled program).
+
+    The reference evaluates captions with HF generate ``num_beams=5``
+    (MultiModalLLM/src/train/trainer.py:292-294); HF's loop re-orders
+    host-side per token. Here the whole search is a ``lax.scan``: each
+    step scores all K*V continuations in fp32, ``lax.top_k``s the next K
+    beams, and gathers cache rows by beam index on device.
+
+    Semantics (mirrored exactly by the numpy oracle in tests):
+    - beams that emit ``eos_id`` freeze: score and generated length stop
+      accumulating (their only continuation is eos at logp 0);
+    - after ``steps`` iterations every beam (finished at its eos, alive
+      at the horizon) is ranked by ``cum_logprob / len**length_penalty``
+      where ``len`` counts generated tokens including the eos.
+
+    Args:
+      tok0:    [B, K] first generated token per beam (already scored).
+      scores0: [B, K] fp32 cumulative logprob of that first token
+               (non-viable duplicate beams should carry ~-1e30).
+      cache:   KVCache with B*K rows — beam (b, k) at row b*K + k, the
+               prompt prefilled into every row.
+
+    Returns (tokens [B, K, steps+1], norm_scores [B, K], gen_len [B, K]).
+    """
+    B, K = tok0.shape
+    T = steps + 1
+
+    def body(carry, t):
+        tok, cache, scores, finished, gen_len, hist = carry
+        logits, cache = prefill(params, tok.reshape(B * K, 1), cache, cfg)
+        V = logits.shape[-1]
+        logp = jax.nn.log_softmax(logits[:, 0].astype(jnp.float32), axis=-1)
+        logp = logp.reshape(B, K, V)
+        # finished beams continue ONLY as eos at logp 0 (score frozen)
+        eos_only = jnp.full((V,), _BEAM_NEG, jnp.float32).at[eos_id].set(0.0)
+        logp = jnp.where(finished[..., None], eos_only, logp)
+        cand = (scores[..., None] + logp).reshape(B, K * V)
+        new_scores, idx = jax.lax.top_k(cand, K)              # [B, K]
+        src = idx // V
+        new_tok = (idx % V).astype(jnp.int32)
+
+        take = lambda x: jnp.take_along_axis(x, src, axis=1)
+        finished = take(finished)
+        gen_len = take(gen_len)
+        hist = jnp.take_along_axis(hist, src[..., None], axis=1)
+        rows = (jnp.arange(B, dtype=jnp.int32)[:, None] * K + src).reshape(-1)
+        cache = KVCache(
+            jnp.take(cache.kv, rows, axis=1),
+            jnp.take(cache.valid, rows, axis=0),
+            cache.index,
+            None if cache.scale is None
+            else jnp.take(cache.scale, rows, axis=1))
+
+        gen_len = jnp.where(finished, gen_len, gen_len + 1)
+        finished = finished | (new_tok == eos_id)
+        hist = hist.at[:, :, t].set(new_tok)
+        return (new_tok, cache, new_scores, finished, gen_len, hist), None
+
+    hist0 = jnp.zeros((B, K, T), jnp.int32).at[:, :, 0].set(tok0)
+    finished0 = tok0 == eos_id
+    gen_len0 = jnp.ones((B, K), jnp.int32)
+    (tok, cache, scores, finished, gen_len, hist), _ = jax.lax.scan(
+        body,
+        (tok0, cache, scores0.astype(jnp.float32), finished0, gen_len0,
+         hist0),
+        jnp.arange(1, T, dtype=jnp.int32))
+    norm = scores / jnp.power(gen_len.astype(jnp.float32), length_penalty)
+    return hist, norm, gen_len
+
+
 def slot_decode_sample(params, input_ids: jnp.ndarray, active: jnp.ndarray,
                        temperature: jnp.ndarray, top_p: jnp.ndarray,
                        greedy: jnp.ndarray, cache: SlotCache, key: jax.Array,

@@ -34,6 +34,11 @@ class GenerationConfig:
     do_sample: bool = True
     eos_token_id: int = 2
     forced_first_token: Optional[int] = None   # force_boi (flask :158-175)
+    # beam search (the caption eval generates with num_beams=5,
+    # MultiModalLLM/src/train/trainer.py:292-294); >1 implies deterministic
+    # decoding — do_sample/temperature/top_p are ignored
+    num_beams: int = 1
+    length_penalty: float = 1.0
 
 
 def _pad_to(x: np.ndarray, n: int, value: int = 0) -> np.ndarray:
@@ -102,6 +107,8 @@ class LlamaEngine:
         seed: int = 0,
     ) -> List[List[int]]:
         """Batch generate. Returns new tokens per sequence (without prompt)."""
+        if gen.num_beams > 1:
+            return self._beam_generate(prompt_ids, gen)
         B = len(prompt_ids)
         lens = [len(p) for p in prompt_ids]
         bucket = self._bucket(max(lens))
@@ -160,3 +167,61 @@ class LlamaEngine:
             if out_tokens[i] and out_tokens[i][-1] == gen.eos_token_id:
                 out_tokens[i] = out_tokens[i][:-1]
         return out_tokens
+
+    def _beam_generate(self, prompt_ids: Sequence[Sequence[int]],
+                       gen: GenerationConfig) -> List[List[int]]:
+        """num_beams>1 path: one prefill, K-fold cache expansion, then the
+        whole search as ONE compiled scan (M.beam_loop). Returns the best
+        beam's new tokens per sequence (eos stripped)."""
+        B, K = len(prompt_ids), gen.num_beams
+        lens = [len(p) for p in prompt_ids]
+        bucket = self._bucket(max(lens))
+        ids = np.zeros((B, bucket), np.int32)
+        mask = np.zeros((B, bucket), np.int32)
+        for i, p in enumerate(prompt_ids):
+            ids[i, bucket - lens[i]:] = np.asarray(p, np.int32)
+            mask[i, bucket - lens[i]:] = 1
+
+        cache = M.init_cache(self.cfg, B, self.max_len, self.cache_dtype)
+        logits, cache = self._prefill(self.params, jnp.asarray(ids), cache,
+                                      chunk_mask=jnp.asarray(mask))
+        logp0 = jax.nn.log_softmax(
+            logits[:, -1].astype(jnp.float32), axis=-1)
+        if gen.forced_first_token is not None:
+            # all beams share the forced token: only beam 0 is viable at
+            # init, or top_k would clone identical beams K times
+            tok0 = jnp.full((B, K), gen.forced_first_token, jnp.int32)
+            scores0 = jnp.full((B, K), M._BEAM_NEG, jnp.float32).at[:, 0].set(
+                logp0[jnp.arange(B), gen.forced_first_token])
+        else:
+            scores0, tok0 = jax.lax.top_k(logp0, K)
+            tok0 = tok0.astype(jnp.int32)
+
+        cache = M.KVCache(
+            jnp.repeat(cache.kv, K, axis=1),
+            jnp.repeat(cache.valid, K, axis=0),
+            cache.index,
+            None if cache.scale is None
+            else jnp.repeat(cache.scale, K, axis=1))
+
+        steps = max(0, min(gen.max_new_tokens - 1,
+                           self.max_len - bucket - 1))
+        key = (steps, K, gen.eos_token_id, gen.length_penalty, "beam")
+        fn = self._loops.get(key)
+        if fn is None:
+            fn = jax.jit(functools.partial(
+                M.beam_loop, cfg=self.cfg, steps=steps,
+                eos_id=gen.eos_token_id,
+                length_penalty=gen.length_penalty), donate_argnums=(3,))
+            self._loops[key] = fn
+        hist, norm, gen_len = fn(self.params, tok0, scores0, cache)
+        hist, norm, gen_len = (np.asarray(hist), np.asarray(norm),
+                               np.asarray(gen_len))
+        out: List[List[int]] = []
+        for b in range(B):
+            k = int(norm[b].argmax())
+            toks = [int(t) for t in hist[b, k, :int(gen_len[b, k])]]
+            if toks and toks[-1] == gen.eos_token_id:
+                toks = toks[:-1]
+            out.append(toks)
+        return out

@@ -412,3 +412,96 @@ class TestRopeScaling:
         params = M.init_llama(jax.random.PRNGKey(0), cfg, dtype=jnp.float32)
         out = M.forward(params, jnp.asarray([[1, 2, 3]], jnp.int32), cfg)
         assert np.isfinite(np.asarray(out[..., :cfg.vocab_size])).all()
+
+
+class TestBeamSearch:
+    """In-graph beam_loop vs a from-scratch numpy beam oracle (full
+    forward recompute per step, identical freeze/normalize semantics)."""
+
+    @staticmethod
+    def _oracle(params, prompt, K, steps, eos_id, lp=1.0):
+        def last_logp(seq):
+            lg = np.asarray(M.forward(
+                params, jnp.asarray([seq], jnp.int32), CFG))[0, -1]
+            lg = lg.astype(np.float64)
+            return lg - np.log(np.exp(lg - lg.max()).sum()) - lg.max()
+
+        l0 = last_logp(prompt)
+        first = np.argsort(-l0, kind="stable")[:K]
+        # beams: (cum, tokens, finished, gen_len)
+        beams = [(float(l0[t]), [int(t)], int(t) == eos_id, 1) for t in first]
+        for _ in range(steps):
+            cands = []
+            for ci, (cum, toks, fin, gl) in enumerate(beams):
+                if fin:
+                    cands.append((cum, ci, eos_id))
+                else:
+                    l = last_logp(prompt + toks)
+                    for t in range(len(l)):
+                        cands.append((cum + float(l[t]), ci, t))
+            cands.sort(key=lambda c: (-c[0], c[1] * 10**9 + c[2]))
+            new = []
+            for cum, ci, t in cands[:K]:
+                _, toks, fin, gl = beams[ci]
+                if not fin:
+                    gl = gl + 1
+                    toks = toks + [t]
+                new.append((cum, toks, fin or t == eos_id, gl))
+            beams = new
+        scored = [(cum / gl ** lp, toks, gl) for cum, toks, fin, gl in beams]
+        best = max(scored, key=lambda s: s[0])
+        toks = best[1][:best[2]]
+        if toks and toks[-1] == eos_id:
+            toks = toks[:-1]
+        return toks
+
+    def test_beam1_equals_greedy(self, params):
+        eng = LlamaEngine(params, CFG, max_len=64, cache_dtype=jnp.float32)
+        greedy = eng.generate([[4, 8, 15]], GenerationConfig(
+            max_new_tokens=6, do_sample=False, eos_token_id=-1))
+        beam = eng._beam_generate([[4, 8, 15]], GenerationConfig(
+            max_new_tokens=6, num_beams=1, eos_token_id=-1))
+        assert beam == greedy
+
+    def test_beam_matches_numpy_oracle(self, params):
+        prompt = [4, 8, 15, 16]
+        want = self._oracle(params, prompt, K=3, steps=5, eos_id=-1)
+        eng = LlamaEngine(params, CFG, max_len=64, cache_dtype=jnp.float32)
+        got = eng.generate([prompt], GenerationConfig(
+            max_new_tokens=6, num_beams=3, eos_token_id=-1))[0]
+        assert got == want
+
+    def test_beam_eos_freeze_matches_oracle(self, params):
+        """Pick the oracle's step-2 token as eos so beams actually finish
+        mid-search; frozen scores must match."""
+        prompt = [7, 3, 9]
+        probe = self._oracle(params, prompt, K=3, steps=5, eos_id=-1)
+        eos = probe[2]
+        want = self._oracle(params, prompt, K=3, steps=5, eos_id=eos)
+        eng = LlamaEngine(params, CFG, max_len=64, cache_dtype=jnp.float32)
+        got = eng.generate([prompt], GenerationConfig(
+            max_new_tokens=6, num_beams=3, eos_token_id=eos))[0]
+        assert got == want
+
+    def test_beam_batched_rows_independent(self, params):
+        """Each batch row's beam search must equal its solo run."""
+        prompts = [[4, 8, 15], [23, 42]]
+        eng = LlamaEngine(params, CFG, max_len=64, cache_dtype=jnp.float32)
+        gen = GenerationConfig(max_new_tokens=5, num_beams=3,
+                               eos_token_id=-1)
+        both = eng.generate(prompts, gen)
+        for i, p in enumerate(prompts):
+            solo = eng.generate([p], gen)[0]
+            assert both[i] == solo, p
+
+    def test_beam_length_penalty_changes_selection_consistently(self, params):
+        prompt = [11, 12, 13]
+        for lp in (0.5, 2.0):
+            want = self._oracle(params, prompt, K=3, steps=4, eos_id=-1,
+                                lp=lp)
+            eng = LlamaEngine(params, CFG, max_len=64,
+                              cache_dtype=jnp.float32)
+            got = eng.generate([prompt], GenerationConfig(
+                max_new_tokens=5, num_beams=3, eos_token_id=-1,
+                length_penalty=lp))[0]
+            assert got == want, lp
