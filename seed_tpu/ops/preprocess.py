@@ -6,17 +6,31 @@ ToTensor -> Normalize(CLIP mean/std)). On TPU the whole chain runs inside
 the encode jit: uint8 HBM bytes in, normalized bf16 out, fused by XLA with
 the patch-embed matmul — no host round trip per image.
 
-PIL's antialiased bicubic uses the Keys cubic kernel (a = -0.5), the same
-kernel family as jax.image.resize(method="bicubic", antialias=True); pixel
-differences are at the 1e-3 level, which empirically leaves SEED token IDs
-unchanged (SURVEY.md §7 hard-parts note documents this tolerance).
+Resize parity with the reference, MEASURED (tests/test_processors.py):
+
+- ``resize_bicubic`` (float path) matches PIL's continuous bicubic
+  (mode-"F" resize: same Keys a=-0.5 kernel, same antialiasing) to
+  max |delta| <= 3e-5 over random + natural-statistics corpora.
+- The reference, however, resizes PIL *uint8* images (torchvision
+  Resize on PIL input, models/transforms.py:4-21): PIL then runs TWO
+  fixed-point passes with clipping+rounding to uint8 after EACH pass.
+  Versus that path the float resize differs by up to 0.18 (overshoot
+  clipping) and round+clip of the float result still leaves ~20% of
+  pixels off by >=1/255 (two-pass quantization compounds).
+- ``resize_bicubic_pil`` therefore emulates PIL's integer resampling
+  exactly (same coefficient quantization, per-pass clip8): output is
+  BIT-IDENTICAL to PIL BICUBIC uint8 resize on every tested image, so
+  resized inputs preserve bit-exact SEED token-ID parity end-to-end.
+  ``preprocess`` uses it by default whenever a resize is needed.
 """
 from __future__ import annotations
 
+import functools
 from typing import Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 # CLIP normalization constants (models/seed_llama_tokenizer.py:55)
 CLIP_MEAN = (0.48145466, 0.4578275, 0.40821073)
@@ -38,16 +52,85 @@ def resize_bicubic(images: jnp.ndarray, size: Tuple[int, int],
                             method="bicubic", antialias=antialias)
 
 
+# PIL Resample.c fixed-point precision (8bpc images)
+_PIL_PRECISION_BITS = 32 - 8 - 2
+
+
+def _pil_bicubic_weight(x: np.ndarray, a: float = -0.5) -> np.ndarray:
+    x = np.abs(x)
+    w1 = ((a + 2.0) * x - (a + 3.0)) * x * x + 1.0
+    w2 = (((x - 5.0) * x + 8.0) * x - 4.0) * a
+    return np.where(x < 1.0, w1, np.where(x < 2.0, w2, 0.0))
+
+
+@functools.lru_cache(maxsize=64)
+def _pil_coeff_matrix(in_size: int, out_size: int) -> np.ndarray:
+    """Dense [out, in] int32 coefficient matrix reproducing PIL
+    precompute_coeffs + normalize_coeffs_8bpc exactly (support window,
+    per-row normalization, round-half-away quantization)."""
+    scale = in_size / out_size
+    filterscale = max(scale, 1.0)
+    support = 2.0 * filterscale           # bicubic support
+    ss = 1.0 / filterscale
+    kk = np.zeros((out_size, in_size), np.int32)
+    for xx in range(out_size):
+        center = (xx + 0.5) * scale
+        xmin = int(max(0, np.floor(center - support)))
+        xmax = int(min(in_size, np.ceil(center + support)))
+        idx = np.arange(xmin, xmax)
+        w = _pil_bicubic_weight((idx - center + 0.5) * ss)
+        w = w / w.sum()
+        q = np.where(w >= 0, w * (1 << _PIL_PRECISION_BITS) + 0.5,
+                     w * (1 << _PIL_PRECISION_BITS) - 0.5).astype(np.int32)
+        kk[xx, xmin:xmax] = q
+    return kk
+
+
+def resize_bicubic_pil(images_u8: jnp.ndarray,
+                       size: Tuple[int, int]) -> jnp.ndarray:
+    """BIT-EXACT emulation of ``PIL.Image.resize(size, BICUBIC)`` on uint8
+    images — the reference's actual preprocessing numerics (torchvision
+    Resize applies PIL's two-pass fixed-point resampler with clip8 after
+    each pass). uint8 [B,H,W,C] -> uint8 [B,size[0],size[1],C].
+
+    All-integer math on device: two int32 contractions (horizontal then
+    vertical, PIL's pass order) + shift/clip epilogues; coefficient
+    tables are built host-side with PIL's exact quantization and cached
+    per (in, out) size pair."""
+    B, H, W, C = images_u8.shape
+    kh = jnp.asarray(_pil_coeff_matrix(W, size[1]))       # [outW, W]
+    kv = jnp.asarray(_pil_coeff_matrix(H, size[0]))       # [outH, H]
+    half = 1 << (_PIL_PRECISION_BITS - 1)
+    x = images_u8.astype(jnp.int32)
+    acc = jnp.einsum("bhwc,ow->bhoc", x, kh,
+                     preferred_element_type=jnp.int32)
+    x = jnp.clip((acc + half) >> _PIL_PRECISION_BITS, 0, 255)
+    acc = jnp.einsum("bhwc,oh->bowc", x, kv,
+                     preferred_element_type=jnp.int32)
+    x = jnp.clip((acc + half) >> _PIL_PRECISION_BITS, 0, 255)
+    return x.astype(jnp.uint8)
+
+
 def preprocess(images_u8: jnp.ndarray, image_size: int = 224,
-               dtype=jnp.bfloat16) -> jnp.ndarray:
+               dtype=jnp.bfloat16, pil_exact: bool = True) -> jnp.ndarray:
     """uint8 [B,H,W,3] -> normalized [B,image_size,image_size,3] ``dtype``.
 
     The full transform of get_transform('clip') with square resize
-    (the inference default, seed_llama_tokenizer.py:51).
-    """
-    x = images_u8.astype(jnp.float32) / 255.0
+    (the inference default, seed_llama_tokenizer.py:51). When a resize is
+    needed, ``pil_exact=True`` (default) reproduces the reference's PIL
+    uint8 resize bit-exactly (see module docstring); ``pil_exact=False``
+    uses the continuous float bicubic (no quantization — preferable when
+    the input did not come from a PIL pipeline)."""
     if images_u8.shape[1:3] != (image_size, image_size):
-        x = resize_bicubic(x, (image_size, image_size))
+        if pil_exact:
+            images_u8 = resize_bicubic_pil(images_u8,
+                                           (image_size, image_size))
+            x = images_u8.astype(jnp.float32) / 255.0
+        else:
+            x = resize_bicubic(images_u8.astype(jnp.float32) / 255.0,
+                               (image_size, image_size))
+    else:
+        x = images_u8.astype(jnp.float32) / 255.0
     return normalize(x, dtype)
 
 
