@@ -70,9 +70,11 @@ if __name__ == "__main__":
     params = build_params(cfg)
     for (dt_name, cache_dtype, B, S) in [
         ("bf16", jnp.bfloat16, 32, 192),
+        ("bf16", jnp.bfloat16, 64, 192),
+        ("fp8", jnp.float8_e4m3fn, 32, 192),
+        ("fp8", jnp.float8_e4m3fn, 64, 192),
+        ("fp8", jnp.float8_e4m3fn, 64, 448),
         ("int8", jnp.int8, 32, 192),
-        ("int8", jnp.int8, 64, 192),
-        ("int8", jnp.int8, 32, 448),
     ]:
         try:
             tps, ms = run(params, cfg, B, S, cache_dtype)

@@ -82,15 +82,35 @@ class KVCache(NamedTuple):
     the fused layout. Fusing also halves the number of HBM streams the
     decode attention touches.
 
-    int8 mode (``init_cache(dtype=jnp.int8)``): kv holds int8 codes and
-    ``scale`` holds per-(token, head, k|v-half) fp32 absmax scales — the
-    decode-attention HBM bound halves and the same HBM fits a 2x larger
-    batch or context. The int8<->bf16 converts ride the attention matmul
-    (VPU work hidden under the HBM stream)."""
-    kv: jnp.ndarray       # [L, B, S_max, H_kv, 2*D] bf16 — or int8 codes
+    Quantized modes — both halve cache HBM (2x batch or context on one
+    16GB chip):
+
+    - **fp8 (``init_cache(dtype=jnp.float8_e4m3fn)``) — the serving
+      default.** Scale-free: rides the exact bf16 code path (astype on
+      write, astype on read) and therefore keeps the 2-element scan
+      carry XLA aliases in place — decode stays at bf16 speed with half
+      the cache bytes. e4m3's 3-bit mantissa is coarser than int8
+      absmax but k/v values are O(1-10), well inside e4m3 range.
+    - int8 (``dtype=jnp.int8``): codes + per-(token, head, k|v-half)
+      fp32 absmax ``scale``. More precise, but the separate scale
+      buffer forces a THREE-element scan carry, which breaks XLA's
+      in-place cache aliasing in the nested decode scan (measured 7x:
+      238 ms/step vs 34.5 bf16/fp8 at 8B B=32 — PERF.md round 3).
+      Use when cache precision matters more than decode speed.
+
+    Logical axis order [L, S, H_kv, B, 2D] (batch NEXT-TO-MINOR, not
+    leading): at 8B decode shapes XLA's layout assignment wants the cache
+    physically as [L, S, H, B, 2D] — with the old [L, B, S, H, 2D]
+    logical order it materialized ~9.25G of relayout copies at decode-
+    loop entry (PERF.md round 2; the AUTO-layout route that also removes
+    them cannot execute through the axon tunnel). Making the logical
+    order MATCH the preferred physical order gives the no-copy layout
+    with default (descending row-major) layouts everywhere. The cached
+    attention contracts directly in this layout (``_cached_attn``)."""
+    kv: jnp.ndarray       # [L, S_max, H_kv, B, 2*D] bf16 — or int8 codes
     valid: jnp.ndarray    # [B, S_max] bool — slots holding real tokens
     index: jnp.ndarray    # scalar int32: write cursor (tokens written so far)
-    scale: Optional[jnp.ndarray] = None  # [L, B, S_max, H_kv, 2] f32 (int8)
+    scale: Optional[jnp.ndarray] = None  # [L, S_max, H_kv, B, 2] f32 (int8)
 
     @property
     def k(self) -> jnp.ndarray:   # convenience views (tests/debug)
@@ -126,7 +146,7 @@ def _cache_kv_dequant(kv: jnp.ndarray, scale: Optional[jnp.ndarray],
 def init_cache(cfg: LlamaConfig, batch: int, max_len: Optional[int] = None,
                dtype=jnp.bfloat16) -> KVCache:
     S = max_len or cfg.max_seq_len
-    shape = (cfg.layers, batch, S, cfg.kv_heads, 2 * cfg.head_dim)
+    shape = (cfg.layers, S, cfg.kv_heads, batch, 2 * cfg.head_dim)
     scale = None
     if dtype == jnp.int8:
         scale = jnp.zeros(shape[:-1] + (2,), jnp.float32)
@@ -211,23 +231,27 @@ def _layer_apply(p, x, positions, mask, cfg: LlamaConfig,
     k = rope(k, positions, cfg.rope_theta, cfg.rope_scaling,
              cfg.rope_scaling_factor)
 
-    new_cache = None
     if layer_cache is not None:
-        ckv, cscale = layer_cache               # [B, S, H_kv, 2D] fused
-        kv_new = jnp.concatenate([k, v], axis=-1)
+        ckv, cscale = layer_cache               # [S, H_kv, B, 2D] fused
+        # chunk -> cache layout: [B, N, H, 2D] -> [N, H, B, 2D]
+        kv_new = jnp.concatenate([k, v], axis=-1).transpose(1, 2, 0, 3)
         if cscale is not None:                  # int8 cache: quantize write
             kv_q, sc_new = _cache_kv_quant(kv_new)
             ckv = jax.lax.dynamic_update_slice(ckv, kv_q,
-                                               (0, cache_index, 0, 0))
+                                               (cache_index, 0, 0, 0))
             cscale = jax.lax.dynamic_update_slice(cscale, sc_new,
-                                                  (0, cache_index, 0, 0))
+                                                  (cache_index, 0, 0, 0))
         else:
             ckv = jax.lax.dynamic_update_slice(
-                ckv, kv_new.astype(ckv.dtype), (0, cache_index, 0, 0))
-        k, v = _cache_kv_dequant(ckv, cscale, q.dtype)
-        new_cache = (ckv, cscale)
+                ckv, kv_new.astype(ckv.dtype), (cache_index, 0, 0, 0))
+        o = _cached_attn(q, ckv, cscale, mask, cfg)
+        x = x + L.linear(p["o_proj"], o)
+        h = L.rms_norm(p["post_attention_layernorm"], x, cfg.rms_eps)
+        gate = jax.nn.silu(L.linear(p["gate_proj"], h))
+        x = x + L.linear(p["down_proj"], gate * L.linear(p["up_proj"], h))
+        return x, (ckv, cscale)
 
-    if use_flash and layer_cache is None:
+    if use_flash:
         # training path: Pallas flash attention (O(S) memory). Right-padded
         # batches are safe under pure causal masking — real tokens never
         # attend forward into padding; pad positions carry no loss.
@@ -240,7 +264,30 @@ def _layer_apply(p, x, positions, mask, cfg: LlamaConfig,
     h = L.rms_norm(p["post_attention_layernorm"], x, cfg.rms_eps)
     gate = jax.nn.silu(L.linear(p["gate_proj"], h))
     x = x + L.linear(p["down_proj"], gate * L.linear(p["up_proj"], h))
-    return x, new_cache
+    return x, None
+
+
+def _cached_attn(q: jnp.ndarray, ckv: jnp.ndarray,
+                 cscale: Optional[jnp.ndarray], mask, cfg: LlamaConfig
+                 ) -> jnp.ndarray:
+    """Attention over the cache IN ITS STORAGE LAYOUT [S, H_kv, B, 2D] —
+    no transposes of cache-sized tensors (the relayout copies those imply
+    were the round-2 decode bottleneck). q [B, N, H, D]; mask
+    broadcastable to [B, 1, N, S]; fp32 scores/softmax (mha numerics).
+    GQA: query heads grouped [H_kv, G] against the shared kv head."""
+    from ..ops.attention import NEG_INF
+    B, N, H, D = q.shape
+    Hkv = ckv.shape[1]
+    G = H // Hkv
+    k, v = _cache_kv_dequant(ckv, cscale, q.dtype)     # [S, H_kv, B, D]
+    qg = q.reshape(B, N, Hkv, G, D)
+    scores = jnp.einsum("bnkgd,skbd->bkgns", qg, k,
+                        preferred_element_type=jnp.float32) * (D ** -0.5)
+    if mask is not None:
+        scores = jnp.where(mask[:, :, None], scores, NEG_INF)
+    probs = jax.nn.softmax(scores, axis=-1).astype(q.dtype)
+    o = jnp.einsum("bkgns,skbd->bnkgd", probs, v)
+    return o.reshape(B, N, H * D)
 
 
 def _logits(params, x, cfg: LlamaConfig) -> jnp.ndarray:
@@ -304,7 +351,7 @@ def prefill(params, input_ids: jnp.ndarray, cache: KVCache,
     N=1 special case, so continuous batching reuses one compiled program.
     """
     B, N = input_ids.shape
-    S = cache.kv.shape[2]
+    S = cache.kv.shape[1]
     if chunk_mask is None:
         chunk_mask = jnp.ones((B, N), jnp.int32)
     chunk_mask = chunk_mask.astype(jnp.int32)
@@ -458,11 +505,11 @@ def beam_loop(params, tok0: jnp.ndarray, scores0: jnp.ndarray,
         hist = jnp.take_along_axis(hist, src[..., None], axis=1)
         rows = (jnp.arange(B, dtype=jnp.int32)[:, None] * K + src).reshape(-1)
         cache = KVCache(
-            jnp.take(cache.kv, rows, axis=1),
+            jnp.take(cache.kv, rows, axis=3),      # batch axis of the cache
             jnp.take(cache.valid, rows, axis=0),
             cache.index,
             None if cache.scale is None
-            else jnp.take(cache.scale, rows, axis=1))
+            else jnp.take(cache.scale, rows, axis=3))
 
         gen_len = jnp.where(finished, gen_len, gen_len + 1)
         finished = finished | (new_tok == eos_id)

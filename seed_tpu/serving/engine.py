@@ -198,11 +198,11 @@ class LlamaEngine:
             tok0 = tok0.astype(jnp.int32)
 
         cache = M.KVCache(
-            jnp.repeat(cache.kv, K, axis=1),
+            jnp.repeat(cache.kv, K, axis=3),       # batch axis of the cache
             jnp.repeat(cache.valid, K, axis=0),
             cache.index,
             None if cache.scale is None
-            else jnp.repeat(cache.scale, K, axis=1))
+            else jnp.repeat(cache.scale, K, axis=3))
 
         steps = max(0, min(gen.max_new_tokens - 1,
                            self.max_len - bucket - 1))

@@ -159,6 +159,45 @@ class TestInt8KVCache:
         np.testing.assert_array_equal(outs[0], outs[1])
 
 
+class TestFp8KVCache:
+    """fp8 (e4m3) cache: the serving default — same 2x HBM saving as int8
+    but scale-free, so it rides the fast 2-element-carry bf16 code path
+    (the int8 scale buffer's 3-element carry costs 7x decode; PERF.md)."""
+
+    def test_fp8_cache_tracks_fp32_rollout(self, params):
+        """Teacher-forced decode: fp8-cached logits must track fp32 within
+        e4m3 tolerance at every step. (Exact greedy-argmax equality is NOT
+        asserted — a random tiny model has near-tied logits that a 3-bit
+        mantissa legitimately flips; the real model's margins are wider,
+        c.f. the int8 test's stricter bound.)"""
+        ids = np.asarray([[1, 5, 9, 12, 7, 3]], np.int32)
+        full = np.asarray(M.forward(params, jnp.asarray(ids), CFG))
+        cache = M.init_cache(CFG, 1, 16, dtype=jnp.float8_e4m3fn)
+        assert cache.scale is None
+        assert cache.kv.dtype.itemsize == 1    # the 2x HBM saving
+        _, cache = M.prefill(params, jnp.asarray(ids[:, :3]), cache, CFG)
+        for t in range(3, 6):
+            logits, cache = M.decode_step(params, jnp.asarray(ids[:, t:t + 1]),
+                                          cache, CFG)
+            got = np.asarray(logits)[:, 0]
+            ref = full[:, t]
+            rel = np.abs(got - ref).max() / (np.abs(ref).max() + 1e-6)
+            assert rel < 0.15, rel
+
+    def test_fp8_cache_logits_close(self, params):
+        ids = np.asarray([[1, 5, 9, 12, 7, 3]], np.int32)
+        full = np.asarray(M.forward(params, jnp.asarray(ids), CFG))
+        cache = M.init_cache(CFG, 1, 16, dtype=jnp.float8_e4m3fn)
+        assert cache.kv.dtype == jnp.float8_e4m3fn
+        _, cache = M.prefill(params, jnp.asarray(ids[:, :3]), cache, CFG)
+        logits, cache = M.decode_step(params, jnp.asarray(ids[:, 3:4]),
+                                      cache, CFG)
+        got = np.asarray(logits)[:, 0]
+        ref = full[:, 3]
+        rel = np.abs(got - ref).max() / (np.abs(ref).max() + 1e-6)
+        assert rel < 0.15, rel   # e4m3: 3-bit mantissa; int8 bound is 0.03
+
+
 class TestSampling:
     def test_top_p_keeps_crossing_token(self):
         logits = jnp.log(jnp.asarray([[0.5, 0.3, 0.15, 0.05]]))
