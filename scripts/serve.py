@@ -20,6 +20,10 @@ def main():
     ap.add_argument("--text-tokenizer", default=None)
     ap.add_argument("--host", default="0.0.0.0")
     ap.add_argument("--port", type=int, default=7890)
+    ap.add_argument("--offload", action="store_true",
+                    help="pin tokenizer + diffusion params on host CPU and "
+                         "swap them into HBM per call (fits the 8B demo on "
+                         "one 16GB chip; seed_llama_flask.py:53-84 semantics)")
     args = ap.parse_args()
 
     import jax
@@ -45,12 +49,13 @@ def main():
     if args.diffusion_ckpt:
         from seed_tpu.models.unclip import SD21_UNCLIP, UnCLIPDecoder
         diffusion = UnCLIPDecoder(restore_checkpoint(args.diffusion_ckpt),
-                                  SD21_UNCLIP)
+                                  SD21_UNCLIP, offload=args.offload)
     text_tok = (HFTextTokenizer(args.text_tokenizer) if args.text_tokenizer
                 else ByteTextTokenizer())
 
     iface = SeedLlamaInterface(LlamaEngine(llm, cfg), tok_params,
-                               SEED_TOKENIZER, text_tok, diffusion=diffusion)
+                               SEED_TOKENIZER, text_tok, diffusion=diffusion,
+                               offload=args.offload)
     serve(GenerateService(iface), host=args.host, port=args.port)
 
 

@@ -138,8 +138,10 @@ class UnCLIPDecoder:
 
     def __init__(self, params, cfg: UnCLIPConfig = SD21_UNCLIP,
                  num_inference_steps: int = 20, guidance_scale: float = 10.0,
-                 dtype=jnp.bfloat16, seed: int = 42):
-        self.params = params
+                 dtype=jnp.bfloat16, seed: int = 42, offload: bool = False):
+        from ...serving.offload import wrap_params
+        self._params = wrap_params(params, offload)
+        self.params = self._params.params
         self.cfg = cfg
         key = jax.random.PRNGKey(seed)
         k1, _ = jax.random.split(key)
@@ -158,4 +160,5 @@ class UnCLIPDecoder:
         emb = jnp.asarray(image_embeds)
         B = emb.shape[0]
         lat = jnp.broadcast_to(self.latents, (B, *self.latents.shape[1:]))
-        return np.asarray(self._run(self.params, emb, lat), dtype=np.float32)
+        with self._params as p:     # np.asarray syncs before release
+            return np.asarray(self._run(p, emb, lat), dtype=np.float32)

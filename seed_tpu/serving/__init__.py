@@ -5,6 +5,7 @@ from .multimodal import (ByteTextTokenizer, HFTextTokenizer, PromptTemplate,
                          Segment, SeedLlamaInterface, codes_to_string,
                          image_ids_to_tokens, segments_to_string,
                          string_to_parts)
+from .offload import OffloadedParams, ResidentParams, wrap_params
 from .scheduler import ContinuousBatcher, Request
 
 __all__ = [
@@ -14,4 +15,5 @@ __all__ = [
     "SeedLlamaInterface", "image_ids_to_tokens",
     "codes_to_string", "string_to_parts", "segments_to_string",
     "ContinuousBatcher", "Request",
+    "OffloadedParams", "ResidentParams", "wrap_params",
 ]

@@ -151,15 +151,25 @@ class SeedLlamaInterface:
 
     def __init__(self, engine: LlamaEngine, tok_params=None,
                  tok_cfg: ST.SeedTokenizerConfig = ST.SEED_TOKENIZER,
-                 text_tokenizer=None, diffusion=None):
+                 text_tokenizer=None, diffusion=None,
+                 offload: bool = False):
+        """``offload=True`` pins the visual tokenizer (and the diffusion
+        decoder, if it supports it) on host CPU and swaps it into HBM only
+        around encode/decode calls — the reference's single-16GB-device
+        trick (seed_llama_flask.py:53-84,125-130,205-209). The 8B LLM
+        stays resident; see serving/offload.py."""
         import functools
         import jax
+        from .offload import wrap_params
         self.engine = engine
         self.tok_params = tok_params
         self.tok_cfg = tok_cfg
         self.text = text_tokenizer or ByteTextTokenizer()
         self.diffusion = diffusion
+        self.offload = offload
         if tok_params is not None:
+            self._tok = wrap_params(tok_params, offload)
+            self.tok_params = self._tok.params
             self._encode_image = jax.jit(
                 functools.partial(ST.encode, cfg=tok_cfg))
             self._decode_embed = jax.jit(
@@ -168,11 +178,12 @@ class SeedLlamaInterface:
     # ---- image <-> ids ----
     def encode_image(self, images: jnp.ndarray) -> np.ndarray:
         """preprocessed images [B,H,W,3] -> codes [B, 32]."""
-        return np.asarray(self._encode_image(self.tok_params, images))
+        with self._tok as p:
+            return np.asarray(self._encode_image(p, images))
 
     def decode_image(self, codes: np.ndarray):
-        emb = np.asarray(self._decode_embed(self.tok_params,
-                                            jnp.asarray(codes)))
+        with self._tok as p:
+            emb = np.asarray(self._decode_embed(p, jnp.asarray(codes)))
         if self.diffusion is not None:
             return self.diffusion.generate(emb)
         return emb
