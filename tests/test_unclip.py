@@ -183,3 +183,77 @@ class TestCLIPText:
         out2 = clip_text_apply(p, ids2, cfg)
         np.testing.assert_allclose(np.asarray(out[:, :3]),
                                    np.asarray(out2[:, :3]), rtol=2e-5, atol=2e-5)
+
+
+class TestDenoiseLoopParity:
+    """End-to-end denoise-loop parity vs the independent torch oracle
+    (tests/torch_oracles.py unclip_denoise) on TINY_UNCLIP — covers the
+    full pipeline_stable_unclip_img2img.py:575-794 wiring in one number:
+    noise_image_embeddings (:528-573), the projection class-embed add
+    point, skip-concat order, CFG batch/split order (:755-770), leading
+    timestep spacing with offset, and the DDIM v-prediction update."""
+
+    @pytest.fixture(scope="class")
+    def setup(self):
+        import torch_oracles as O
+        cfg = TINY_UNCLIP
+        key = jax.random.PRNGKey(7)
+        params = init_unclip(key, cfg, jnp.float32)
+        # non-trivial normalizer + cached empty-prompt context, so a bug in
+        # either cannot hide behind zeros/ones defaults
+        k1, k2, k3 = jax.random.split(key, 3)
+        params["image_normalizer"] = {
+            "mean": jax.random.normal(k1, (cfg.image_embed_dim,)) * 0.3,
+            "std": jnp.abs(jax.random.normal(
+                k2, (cfg.image_embed_dim,))) + 0.5}
+        params["empty_prompt_embeds"] = jax.random.normal(
+            k3, (1, cfg.text_ctx_len, cfg.text_ctx_dim)) * 0.2
+        np_params = jax.tree.map(np.asarray, params)
+        rng = np.random.RandomState(3)
+        emb = rng.randn(2, cfg.image_embed_dim).astype(np.float32)
+        lat = rng.randn(2, cfg.latent_size, cfg.latent_size,
+                        4).astype(np.float32)
+        return O, cfg, params, np_params, emb, lat
+
+    def test_zero_uncond_cfg_branch(self, setup):
+        O, cfg, params, np_params, emb, lat = setup
+        got = np.asarray(generate_latents(
+            params, jnp.asarray(emb), jnp.asarray(lat), cfg,
+            num_inference_steps=3, guidance_scale=7.5))
+        want = O.unclip_denoise(np_params, cfg, emb, lat, steps=3,
+                                guidance=7.5)
+        np.testing.assert_allclose(got, want, rtol=2e-3, atol=3e-4)
+
+    def test_negative_embed_noise_level_branch(self, setup):
+        O, cfg, params, np_params, emb, lat = setup
+        rng = np.random.RandomState(5)
+        neg = rng.randn(2, cfg.image_embed_dim).astype(np.float32)
+        nz = rng.randn(2, cfg.image_embed_dim).astype(np.float32)
+        got = np.asarray(generate_latents(
+            params, jnp.asarray(emb), jnp.asarray(lat), cfg,
+            num_inference_steps=4, guidance_scale=3.0,
+            negative_image_embeds=jnp.asarray(neg), noise_level=123,
+            embed_noise=jnp.asarray(nz)))
+        want = O.unclip_denoise(np_params, cfg, emb, lat, steps=4,
+                                guidance=3.0, noise_level=123,
+                                embed_noise=nz, negative=neg)
+        np.testing.assert_allclose(got, want, rtol=2e-3, atol=3e-4)
+
+    def test_single_unet_forward_parity(self, setup):
+        """Isolates the UNet wiring from the loop: one forward, random
+        timestep, matched to the oracle at tight fp32 tolerance."""
+        import torch
+        O, cfg, params, np_params, emb, lat = setup
+        rng = np.random.RandomState(11)
+        ctx = rng.randn(2, 4, cfg.unet.cross_attention_dim).astype(np.float32)
+        cls = rng.randn(2, cfg.unet.class_embed_input_dim).astype(np.float32)
+        ts = np.asarray([17, 901])
+        got = np.asarray(unet_apply(
+            params["unet"], jnp.asarray(lat), jnp.asarray(ts),
+            jnp.asarray(ctx), jnp.asarray(cls), cfg.unet))
+        want = O.unclip_unet(
+            np_params["unet"], cfg.unet,
+            torch.from_numpy(lat).permute(0, 3, 1, 2),
+            torch.from_numpy(ts), torch.from_numpy(ctx),
+            torch.from_numpy(cls)).permute(0, 2, 3, 1).detach().numpy()
+        np.testing.assert_allclose(got, want, rtol=5e-4, atol=5e-5)
