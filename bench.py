@@ -2,18 +2,31 @@
 """Headline benchmark: SEED-2 tokenizer encode throughput (images/sec/chip).
 
 Runs the full-scale encode graph (device-side preprocess + EVA-ViT-g 39
-blocks + causal Q-Former + VQ argmin over 8192 codes -> 32 ids) in bf16 on
-one chip, sweeping batch size, and prints ONE JSON line.
+blocks + causal Q-Former + VQ argmin over 8192 codes -> 32 ids) on one
+chip and prints ONE JSON line. Two named paths, reported separately:
+
+- ``exact_img_s``: bf16, bit-exact w.r.t. the torch-parity bar (the
+  BASELINE.md acceptance criterion) — swept over batch sizes.
+- ``fast_img_s``: the serving path (W8A8 int8 ViT + Pallas short-seq
+  attention + tanh GELU), also swept; ``fast_agreement`` is its measured
+  token-id agreement vs the exact path on the same inputs (it is a lossy
+  path; the headline value comes from it only with that caveat attached).
+
+The 8B decode metric runs in its OWN subprocess (``--decode-only``) so the
+encode allocations never sit next to the 8B weights (the round-2 in-situ
+run was 15% below clean-chip for exactly that reason).
 
 ``vs_baseline`` is measured against the BASELINE.json aspiration of 5,000
 images/sec/chip. (The reference repo publishes no tokenizer throughput —
 see BASELINE.md; the v5e bf16 roofline for EVA-ViT-g at 224^2 is ~520
-GFLOPs/image -> ~380 img/s at 100%% MFU, so the 5k figure is not physically
-reachable in bf16; we report honestly against it.)
+GFLOPs/image -> ~380 img/s at 100%% MFU, so the 5k figure is not
+physically reachable in bf16; we report honestly against it.)
 """
 import functools
 import json
 import os
+import subprocess
+import sys
 import time
 
 import jax
@@ -28,11 +41,11 @@ import numpy as np
 
 
 def bench_decode_8b():
-    """Secondary metric: SEED-LLaMA-8B int8 decode tokens/sec/chip.
+    """Secondary metric: SEED-LLaMA-8B decode tokens/sec/chip.
 
-    Runs the full 8B decoder (int8 weight-only — the reference's 8-bit
-    serving mode) with the ring KV cache on one chip. Returns tokens/sec
-    or None if it doesn't fit/compile on this chip."""
+    Full 8B decoder, int8 weights (the reference's 8-bit serving mode,
+    epilogue dequant) with the fused ring KV cache, B=32 S=192 — the
+    in-graph multi-token serving loop. Returns tokens/sec or None."""
     try:
         from seed_tpu.models import llama as M
         from seed_tpu.ops.quantization import quantize_tree
@@ -40,8 +53,7 @@ def bench_decode_8b():
         cfg = M.SEED_LLAMA_8B
         # 8B bf16 (16GB) exceeds one v5e's HBM: build int8 weights host-side
         # (throughput doesn't depend on values — cheap numpy fill instead of
-        # a 6.7B-sample PRNG) and ship ~8GB to the chip: the 8-bit serving
-        # memory layout.
+        # a 6.7B-sample PRNG) and ship ~7GB to the chip.
         cpu = jax.devices("cpu")[0]
         with jax.default_device(cpu):
             shapes = jax.eval_shape(
@@ -58,17 +70,10 @@ def bench_decode_8b():
             params = jax.tree.map(fill, shapes)
         B, prompt_len, steps, S = 32, 32, 64, 192
         # serving path: M.decode_loop scans `steps` decode+sample iterations
-        # inside ONE compiled program (matches LlamaEngine.generate) — the
-        # per-token host round trip was the round-1 bottleneck (~86 ms/step
-        # vs the ~8.5 ms/step HBM roofline).
-        #
-        # Cache length 192: XLA re-lays-out the fused kv cache once at loop
-        # entry (it prefers [L,S,H,B,2D] physical order at decode shapes),
-        # costing one transient cache-sized copy; S=192 keeps
-        # weights + 2x cache + relaid int8 kernels inside 15.75G HBM. The
-        # AUTO-layout route that removes the copy entirely compiles 0.25G
-        # of temp but currently fails to EXECUTE through the axon tunnel
-        # (see PERF.md); revisit when the runtime accepts custom layouts.
+        # inside ONE compiled program (matches LlamaEngine.generate). The
+        # cache's logical [L,S,H,B,2D] order equals XLA's preferred physical
+        # order at decode shapes (round-3 layout change), so loop entry
+        # needs no relayout copies.
         params = jax.device_put(params, jax.devices()[0])
         loop = jax.jit(functools.partial(
             M.decode_loop, cfg=cfg, steps=steps, temperature=1.0, top_p=0.5,
@@ -97,25 +102,46 @@ def bench_decode_8b():
         return None
 
 
+def _decode_subprocess():
+    """Run bench_decode_8b in a fresh process (clean allocator, clean
+    chip) and parse its one-line JSON result."""
+    try:
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--decode-only"],
+            capture_output=True, text=True, timeout=3600)
+        for line in out.stdout.splitlines():
+            if line.startswith("{"):
+                return json.loads(line).get("decode_tok_s")
+        print(f"# decode subprocess gave no JSON: {out.stdout[-500:]} "
+              f"{out.stderr[-500:]}", flush=True)
+    except Exception as e:
+        print(f"# decode subprocess failed: {e}", flush=True)
+    return None
+
+
 def main():
     from seed_tpu.models import SEED_TOKENIZER, encode, init_seed_tokenizer
     from seed_tpu.ops.preprocess import preprocess
 
-    # decode first: the 8B int8 weights (7GB) + cache (4.3GB) need the chip
-    # to themselves; encode's params would otherwise OOM it
-    decode_tps = bench_decode_8b()
+    # decode first, in its OWN process: the 8B weights + cache need the
+    # chip to themselves, and encode must not inherit its allocator state
+    decode_tps = _decode_subprocess()
 
     cfg = SEED_TOKENIZER
     params = init_seed_tokenizer(jax.random.PRNGKey(0), cfg, dtype=jnp.bfloat16)
     params = jax.device_put(params)
 
-    @functools.partial(jax.jit, static_argnums=())
+    @jax.jit
     def encode_u8(p, raw_u8):
         imgs = preprocess(raw_u8, image_size=cfg.vit.image_size,
                           dtype=jnp.bfloat16)
         return encode(p, imgs, cfg)
 
     def sweep(p, fn, batches):
+        """Per-iteration host sync: every iteration transfers its (tiny)
+        ids to host before the next starts, so tunnel dispatch pipelining
+        cannot skew the per-batch comparison (the round-2 'inverted batch
+        curve' was an artifact of only syncing the last of 5 iters)."""
         res = {}
         for batch in batches:
             raw = np.random.RandomState(0).randint(
@@ -126,20 +152,18 @@ def main():
             # tunnel block_until_ready() returns before execution completes.
             n_iters = 5
             t0 = time.perf_counter()
-            for _ in range(n_iters - 1):
-                fn(p, raw)
-            np.asarray(fn(p, raw))
+            for _ in range(n_iters):
+                np.asarray(fn(p, raw))
             dt = (time.perf_counter() - t0) / n_iters
             res[batch] = batch / dt
         return res
 
-    results = sweep(params, encode_u8, (16, 32, 64, 128))
-    detail = {f"batch_{k}": round(v, 2) for k, v in results.items()}
+    batches = (16, 32, 64, 128)
+    exact = sweep(params, encode_u8, batches)
 
     # Serving-fast variant: W8A8 int8 matmuls (the reference's 8-bit
-    # serving mode) + Pallas short-seq attention + tanh GELU — each lever
-    # measured separately in PERF.md round 2 (token-id agreement vs exact
-    # bf16: 96-97% per lever). Measured at the best bf16 batch.
+    # serving mode) + Pallas short-seq attention + tanh GELU — lossy;
+    # agreement measured below and carried in the JSON.
     from seed_tpu.models.seed_tokenizer import (quantize_for_serving,
                                                 serving_fast_config)
     qparams, qcfg = quantize_for_serving(params, cfg)
@@ -147,27 +171,38 @@ def main():
     qparams = jax.device_put(qparams)
 
     @jax.jit
-    def encode_u8_int8(p, raw_u8):
+    def encode_u8_fast(p, raw_u8):
         imgs = preprocess(raw_u8, image_size=qcfg.vit.image_size,
                           dtype=jnp.bfloat16)
         return encode(p, imgs, qcfg)
 
-    best_bf16_batch = max(results, key=results.get)
-    int8_results = sweep(qparams, encode_u8_int8, (best_bf16_batch,))
-    detail[f"serving_fast_batch_{best_bf16_batch}"] = round(
-        int8_results[best_bf16_batch], 2)
+    fast = sweep(qparams, encode_u8_fast, batches)
 
-    best = max(max(results.values()), max(int8_results.values()))
-    variant = ("w8a8+flash+tanh" if max(int8_results.values())
-               > max(results.values()) else "bf16")
+    # token-id agreement of the fast path vs the exact path, same inputs
+    raw = jnp.asarray(np.random.RandomState(7).randint(
+        0, 256, size=(64, 224, 224, 3)).astype(np.uint8))
+    ids_exact = np.asarray(encode_u8(params, raw))
+    ids_fast = np.asarray(encode_u8_fast(qparams, raw))
+    agreement = float((ids_exact == ids_fast).mean())
+
+    best_exact = max(exact.values())
+    best_fast = max(fast.values())
+    detail = {
+        "exact_img_s": {f"batch_{k}": round(v, 2) for k, v in exact.items()},
+        "fast_img_s": {f"batch_{k}": round(v, 2) for k, v in fast.items()},
+        "fast_agreement": round(agreement, 4),
+        "exact_best": round(best_exact, 2),
+        "note": "exact path is bit-exact vs torch parity; fast path is "
+                "W8A8+flash+tanh with the stated token-id agreement",
+    }
     if decode_tps is not None:
-        detail["decode_8b_int8_tokens_per_sec"] = round(decode_tps, 2)
+        detail["decode_tok_s"] = round(decode_tps, 2)
     out = {
-        "metric": f"images/sec/chip (SEED-2 tokenizer encode, {variant}, "
-                  "224x224)",
-        "value": round(best, 2),
+        "metric": "images/sec/chip (SEED-2 tokenizer encode, serving-fast "
+                  "W8A8+flash+tanh, 224x224)",
+        "value": round(best_fast, 2),
         "unit": "images/sec/chip",
-        "vs_baseline": round(best / 5000.0, 4),
+        "vs_baseline": round(best_fast / 5000.0, 4),
         "detail": detail,
         "device": str(jax.devices()[0]),
     }
@@ -175,4 +210,9 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    if "--decode-only" in sys.argv:
+        tps = bench_decode_8b()
+        print(json.dumps({"decode_tok_s": None if tps is None
+                          else round(tps, 2)}))
+    else:
+        main()

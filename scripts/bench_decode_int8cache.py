@@ -1,12 +1,19 @@
 #!/usr/bin/env python
-"""8B int8-weight decode throughput: bf16 vs int8 KV cache, batch/context
-sweep. The int8 cache halves cache HBM -> fits 2x batch or context
-(the aggregate-throughput lever on one 16GB v5e).
+"""8B int8-weight decode throughput: bf16 vs fp8/int8 KV cache, batch and
+context sweep. Quantized caches halve cache HBM -> fit 2x batch or
+context (the aggregate-throughput lever on one 16GB v5e).
 
-    python scripts/bench_decode_int8cache.py
+EVERY CONFIG RUNS IN ITS OWN SUBPROCESS: any config measured as the 2nd+
+big model inside one process reads ~210+ ms/step regardless of what it is
+(allocator/fragmentation artifact, PERF.md round 2-3 — it manufactured
+the round-2 "B=64 collapse"). One process per point gives clean numbers.
+
+    python scripts/bench_decode_int8cache.py            # orchestrate sweep
+    python scripts/bench_decode_int8cache.py bf16 32 192  # one point
 """
 import functools
 import os
+import subprocess
 import sys
 import time
 
@@ -63,23 +70,30 @@ def run(params, cfg, B, S, cache_dtype, steps=64, prompt_len=32):
     return B * steps / dt, dt / steps * 1e3
 
 
+DTYPES = {"bf16": jnp.bfloat16, "fp8": jnp.float8_e4m3fn, "int8": jnp.int8}
+
+SWEEP = [("bf16", 32, 192), ("bf16", 64, 192), ("fp8", 32, 192),
+         ("fp8", 64, 192), ("fp8", 64, 448), ("int8", 32, 192)]
+
 if __name__ == "__main__":
-    from seed_tpu.models import llama as M
-    cfg = M.SEED_LLAMA_8B
-    print(f"device: {jax.devices()[0]}", flush=True)
-    params = build_params(cfg)
-    for (dt_name, cache_dtype, B, S) in [
-        ("bf16", jnp.bfloat16, 32, 192),
-        ("bf16", jnp.bfloat16, 64, 192),
-        ("fp8", jnp.float8_e4m3fn, 32, 192),
-        ("fp8", jnp.float8_e4m3fn, 64, 192),
-        ("fp8", jnp.float8_e4m3fn, 64, 448),
-        ("int8", jnp.int8, 32, 192),
-    ]:
-        try:
-            tps, ms = run(params, cfg, B, S, cache_dtype)
-            print(f"cache={dt_name} B={B} S={S}: {tps:7.1f} tok/s "
-                  f"({ms:.1f} ms/step)", flush=True)
-        except Exception as e:
-            print(f"cache={dt_name} B={B} S={S}: failed "
-                  f"{type(e).__name__}: {str(e)[:200]}", flush=True)
+    if len(sys.argv) == 4:      # one point, clean process
+        dt_name, B, S = sys.argv[1], int(sys.argv[2]), int(sys.argv[3])
+        from seed_tpu.models import llama as M
+        cfg = M.SEED_LLAMA_8B
+        params = build_params(cfg)
+        tps, ms = run(params, cfg, B, S, DTYPES[dt_name])
+        print(f"cache={dt_name} B={B} S={S}: {tps:7.1f} tok/s "
+              f"({ms:.1f} ms/step)", flush=True)
+    else:                       # orchestrate: one subprocess per point
+        import jax as _j
+        print(f"device: {_j.devices()[0]}", flush=True)
+        for (dt_name, B, S) in SWEEP:
+            r = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), dt_name,
+                 str(B), str(S)], capture_output=True, text=True,
+                timeout=3600)
+            line = [l for l in r.stdout.splitlines() if l.startswith("cache")]
+            print(line[0] if line else
+                  f"cache={dt_name} B={B} S={S}: failed "
+                  f"{r.stderr.strip().splitlines()[-1][:200] if r.stderr.strip() else '?'}",
+                  flush=True)

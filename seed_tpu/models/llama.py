@@ -52,6 +52,14 @@ class LlamaConfig:
     # "linear" divides positions by the factor; "ntk" rescales theta
     rope_scaling: Optional[str] = None
     rope_scaling_factor: float = 1.0
+    # W8A8 serving: dynamic per-token int8 activations x int8 weights on
+    # the int8 MXU path. Decode is HBM-bound on the weight stream — the
+    # int8 x int8 dot reads weights as int8 with NO bf16 conversion in the
+    # stream, where the weight-only path's bf16 x convert(int8) dot makes
+    # XLA materialize converted tiles (measured: the 2.4x/layer residue,
+    # PERF.md round 2-3). Lossy (activation quantization error) — serving
+    # opt-in, token agreement measured like the encoder's W8A8 mode.
+    w8a8: bool = False
 
     @property
     def head_dim(self) -> int:
@@ -216,6 +224,14 @@ def rope(x: jnp.ndarray, positions: jnp.ndarray,
 
 # ----------------------------- layer forward -------------------------------
 
+def _lin(p, x, cfg: LlamaConfig):
+    """cfg.w8a8 routes int8-quantized projections through the int8 MXU
+    dot (weights stream as int8); otherwise the weight-only/bf16 path."""
+    if cfg.w8a8 and "kernel_q" in p:
+        return L.linear_w8a8(p, x)
+    return L.linear(p, x)
+
+
 def _layer_apply(p, x, positions, mask, cfg: LlamaConfig,
                  layer_cache=None, cache_index=None, use_flash=False):
     """One decoder layer. Returns (x, new_layer_cache or None)."""
@@ -223,9 +239,9 @@ def _layer_apply(p, x, positions, mask, cfg: LlamaConfig,
     H, Hkv, hd = cfg.heads, cfg.kv_heads, cfg.head_dim
 
     h = L.rms_norm(p["input_layernorm"], x, cfg.rms_eps)
-    q = L.linear(p["q_proj"], h).reshape(B, N, H, hd)
-    k = L.linear(p["k_proj"], h).reshape(B, N, Hkv, hd)
-    v = L.linear(p["v_proj"], h).reshape(B, N, Hkv, hd)
+    q = _lin(p["q_proj"], h, cfg).reshape(B, N, H, hd)
+    k = _lin(p["k_proj"], h, cfg).reshape(B, N, Hkv, hd)
+    v = _lin(p["v_proj"], h, cfg).reshape(B, N, Hkv, hd)
     q = rope(q, positions, cfg.rope_theta, cfg.rope_scaling,
              cfg.rope_scaling_factor)
     k = rope(k, positions, cfg.rope_theta, cfg.rope_scaling,
@@ -245,10 +261,10 @@ def _layer_apply(p, x, positions, mask, cfg: LlamaConfig,
             ckv = jax.lax.dynamic_update_slice(
                 ckv, kv_new.astype(ckv.dtype), (cache_index, 0, 0, 0))
         o = _cached_attn(q, ckv, cscale, mask, cfg)
-        x = x + L.linear(p["o_proj"], o)
+        x = x + _lin(p["o_proj"], o, cfg)
         h = L.rms_norm(p["post_attention_layernorm"], x, cfg.rms_eps)
-        gate = jax.nn.silu(L.linear(p["gate_proj"], h))
-        x = x + L.linear(p["down_proj"], gate * L.linear(p["up_proj"], h))
+        gate = jax.nn.silu(_lin(p["gate_proj"], h, cfg))
+        x = x + _lin(p["down_proj"], gate * _lin(p["up_proj"], h, cfg), cfg)
         return x, (ckv, cscale)
 
     if use_flash:
@@ -259,11 +275,11 @@ def _layer_apply(p, x, positions, mask, cfg: LlamaConfig,
         o = flash_attention(q, k, v, causal=True).reshape(B, N, d)
     else:
         o = mha(q, k, v, mask=mask).reshape(B, N, d)
-    x = x + L.linear(p["o_proj"], o)
+    x = x + _lin(p["o_proj"], o, cfg)
 
     h = L.rms_norm(p["post_attention_layernorm"], x, cfg.rms_eps)
-    gate = jax.nn.silu(L.linear(p["gate_proj"], h))
-    x = x + L.linear(p["down_proj"], gate * L.linear(p["up_proj"], h))
+    gate = jax.nn.silu(_lin(p["gate_proj"], h, cfg))
+    x = x + _lin(p["down_proj"], gate * _lin(p["up_proj"], h, cfg), cfg)
     return x, None
 
 
@@ -292,7 +308,7 @@ def _cached_attn(q: jnp.ndarray, ckv: jnp.ndarray,
 
 def _logits(params, x, cfg: LlamaConfig) -> jnp.ndarray:
     x = L.rms_norm(params["norm"], x, cfg.rms_eps)
-    logits = L.linear(params["lm_head"], x).astype(jnp.float32)
+    logits = _lin(params["lm_head"], x, cfg).astype(jnp.float32)
     if cfg.padded_vocab != cfg.vocab_size:  # mask vocab padding
         n = cfg.padded_vocab - cfg.vocab_size
         pad = jnp.full((n,), NEG_INF, jnp.float32)

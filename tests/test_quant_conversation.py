@@ -89,6 +89,34 @@ class TestQuantization:
         agree = (ids_bf16 == ids_int8).mean()
         assert agree >= 0.9, f"token-id agreement {agree:.3f} < 0.9"
 
+    def test_llama_w8a8_decode_path(self):
+        # cfg.w8a8 routes every projection through the int8 x int8 MXU dot
+        # (weights stream as int8 with no bf16 conversion — the decode
+        # HBM-bound lever, PERF.md round 3). Exactness bar: logits within
+        # the activation-quantization envelope of fp32, and the full
+        # prefill+decode_loop serving path runs under the flag.
+        import dataclasses
+        params = M.init_llama(jax.random.PRNGKey(0), CFG, dtype=jnp.float32)
+        qparams = quantize_tree(params)
+        cfg8 = dataclasses.replace(CFG, w8a8=True)
+
+        ids = jnp.asarray([[1, 5, 9, 12]], jnp.int32)
+        lf = np.asarray(M.forward(params, ids, CFG))
+        l8 = np.asarray(M.forward(qparams, ids, cfg8))
+        lw = np.asarray(M.forward(qparams, ids, CFG))
+        # engaged (differs from the weight-only path) but bounded error
+        assert np.abs(l8 - lw).max() > 0
+        assert np.abs(lf - l8).max() / (np.abs(lf).max() + 1e-6) < 0.15
+
+        cache = M.init_cache(cfg8, 1, 32)
+        logits, cache = M.prefill(qparams, ids, cache, cfg8)
+        last = jnp.argmax(logits[:, -1], -1).astype(jnp.int32)
+        toks, done, cache, _ = M.decode_loop(
+            qparams, last, cache, jax.random.PRNGKey(1), cfg8, steps=4,
+            do_sample=False)
+        assert toks.shape == (1, 4)
+        assert (np.asarray(toks) >= 0).all()
+
     def test_stacked_kernels_quantize(self):
         params = M.init_llama(jax.random.PRNGKey(0), CFG, dtype=jnp.float32)
         q = quantize_tree(params)
