@@ -300,6 +300,117 @@ def qformer_generate_caption(
     return tokens
 
 
+def qformer_caption_prefix(params, image_embeds: jnp.ndarray,
+                           cfg: QFormerConfig, max_text: int):
+    """KV-cached caption generation, phase 1 (the visual prefix).
+
+    In the UniLM caption mask (seed_caption_mask) query positions NEVER
+    attend to text, so their hidden states — and therefore their per-layer
+    self-attention K/V — are independent of the generated text. Run the
+    query block once (causal self-attn + cross-attn + ffn_q, exactly the
+    first-Q-rows restriction of qformer_caption_apply) and bank each
+    layer's K/V; text decode then attends into the bank
+    (BertLMHeadModel.generate's past_key_values, qformer_causual.py:933-
+    1062 + BertSelfAttention past_key_value :214-260).
+
+    Returns a cache: list per layer of {"k","v"} [B, Q+max_text, H, hd]
+    with [:Q] filled; text rows are written by qformer_caption_step.
+    """
+    B = image_embeds.shape[0]
+    Q, H, hd = cfg.query_len, cfg.heads, cfg.head_dim
+    S = Q + max_text
+    x = jnp.broadcast_to(params["query_tokens"], (B, Q, cfg.hidden))
+    x = L.layer_norm(params["embeddings"]["norm"],
+                     x.astype(image_embeds.dtype), cfg.ln_eps)
+    qmask = seed_causal_mask(Q)          # queries causal among themselves
+
+    cache = []
+    for layer in params["layers"]:
+        p = layer["self"]
+        k = L.linear(p["k"], x).reshape(B, Q, H, hd)
+        v = L.linear(p["v"], x).reshape(B, Q, H, hd)
+        buf_k = jnp.zeros((B, S, H, hd), x.dtype).at[:, :Q].set(k)
+        buf_v = jnp.zeros((B, S, H, hd), x.dtype).at[:, :Q].set(v)
+        cache.append({"k": buf_k, "v": buf_v})
+        q = L.linear(p["q"], x).reshape(B, Q, H, hd)
+        o = mha(q, k, v, mask=qmask).reshape(B, Q, cfg.hidden)
+        x = L.layer_norm(p["norm"], x + L.linear(p["out"], o), cfg.ln_eps)
+        if "cross" in layer:
+            x = _attn_apply(layer["cross"], x, image_embeds, cfg)
+        x = _ffn_apply(layer["ffn_q"], x, cfg)
+    return cache
+
+
+def qformer_caption_step(params, cache, tok: jnp.ndarray, i,
+                         cfg: QFormerConfig):
+    """KV-cached caption decode, phase 2: one text token.
+
+    ``tok`` [B] is the token at text position ``i`` (traced int32). Writes
+    its K/V into cache row Q+i and returns (hidden [B, hidden], cache).
+    Text positions have no cross-attention and use the text FFN
+    (qformer_caption_apply rows [Q:]).
+    """
+    B = tok.shape[0]
+    Q, H, hd = cfg.query_len, cfg.heads, cfg.head_dim
+    S = cache[0]["k"].shape[1]
+    emb = params["embeddings"]
+    x = (L.embed(emb["word_embeddings"], tok[:, None])
+         + emb["position_embeddings"]["embedding"][i][None, None])
+    x = L.layer_norm(emb["norm"], x, cfg.ln_eps)       # [B, 1, hidden]
+
+    # visible: all queries + text rows <= i (absolute rows < Q+i+1)
+    visible = (jnp.arange(S) < Q + i + 1)[None, None, None, :]
+    new_cache = []
+    for layer, lc in zip(params["layers"], cache):
+        p = layer["self"]
+        k1 = L.linear(p["k"], x).reshape(B, 1, H, hd)
+        v1 = L.linear(p["v"], x).reshape(B, 1, H, hd)
+        bk = jax.lax.dynamic_update_slice(
+            lc["k"], k1.astype(lc["k"].dtype), (0, Q + i, 0, 0))
+        bv = jax.lax.dynamic_update_slice(
+            lc["v"], v1.astype(lc["v"].dtype), (0, Q + i, 0, 0))
+        new_cache.append({"k": bk, "v": bv})
+        q = L.linear(p["q"], x).reshape(B, 1, H, hd)
+        o = mha(q, bk, bv, mask=visible).reshape(B, 1, cfg.hidden)
+        x = L.layer_norm(p["norm"], x + L.linear(p["out"], o), cfg.ln_eps)
+        x = _ffn_apply(layer["ffn_t"], x, cfg)
+    return x[:, 0], new_cache
+
+
+def qformer_generate_caption_cached(
+    params,
+    lm_head,
+    image_embeds: jnp.ndarray,
+    cfg: QFormerConfig,
+    bos_id: int,
+    eos_id: int,
+    max_len: int = 24,
+) -> jnp.ndarray:
+    """Greedy caption generation with the banked-prefix KV cache — same
+    tokens as qformer_generate_caption (both greedy over the same math)
+    at O(1) instead of O(Q+T) positions per step. Returns [B, max_len]."""
+    B = image_embeds.shape[0]
+    cache = qformer_caption_prefix(params, image_embeds, cfg, max_len)
+    word = params["embeddings"]["word_embeddings"]
+
+    def step(carry, i):
+        tokens, cache = carry
+        tok_i = jax.lax.dynamic_index_in_dim(tokens, i, 1, keepdims=False)
+        hidden, cache = qformer_caption_step(params, cache, tok_i, i, cfg)
+        logits = lm_head_apply(lm_head, word, hidden[:, None], cfg)[:, 0]
+        nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        prev = jax.lax.dynamic_index_in_dim(tokens, i, 1, keepdims=False)
+        nxt = jnp.where(prev == eos_id, eos_id, nxt)
+        tokens = jax.lax.dynamic_update_index_in_dim(tokens, nxt, i + 1, 1)
+        return (tokens, cache), None
+
+    tokens = jnp.full((B, max_len), eos_id, jnp.int32)
+    tokens = tokens.at[:, 0].set(bos_id)
+    (tokens, _), _ = jax.lax.scan(
+        step, (tokens, cache), jnp.arange(max_len - 1, dtype=jnp.int32))
+    return tokens
+
+
 def qformer_text_apply(
     params,
     text_ids: jnp.ndarray,                  # [B, T]

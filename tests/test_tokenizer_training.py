@@ -311,3 +311,44 @@ class TestCaptionGeneration:
         out3 = np.asarray(qformer_generate_caption(
             p, head, img2, cfg, bos_id=1, eos_id=2, max_len=8))
         assert not (out == out3).all()
+
+    def test_cached_generation_matches_recompute(self):
+        """The banked-prefix KV cache path must reproduce the recompute
+        path token-for-token (same greedy math, O(1) work per step)."""
+        import jax
+        from seed_tpu.models.qformer import (init_lm_head,
+                                             qformer_generate_caption,
+                                             qformer_generate_caption_cached)
+        cfg = TOK_CFG_TEXT.qformer
+        p = tok_params()["qformer"]
+        head = init_lm_head(jax.random.PRNGKey(6), cfg)
+        img = jax.random.normal(jax.random.PRNGKey(1),
+                                (3, 5, cfg.encoder_width))
+        want = np.asarray(qformer_generate_caption(
+            p, head, img, cfg, bos_id=1, eos_id=2, max_len=10))
+        got = np.asarray(qformer_generate_caption_cached(
+            p, head, img, cfg, bos_id=1, eos_id=2, max_len=10))
+        np.testing.assert_array_equal(want, got)
+
+    def test_cached_step_hidden_matches_joint_forward(self):
+        """Per-position hidden parity: decode step t of the cached path ==
+        row Q+t of the joint qformer_caption_apply forward."""
+        import jax
+        import jax.numpy as jnp
+        from seed_tpu.models.qformer import (qformer_caption_apply,
+                                             qformer_caption_prefix,
+                                             qformer_caption_step)
+        cfg = TOK_CFG_TEXT.qformer
+        p = tok_params()["qformer"]
+        img = jax.random.normal(jax.random.PRNGKey(1),
+                                (2, 5, cfg.encoder_width))
+        T = 6
+        text = jax.random.randint(jax.random.PRNGKey(2), (2, T), 0,
+                                  cfg.vocab_size)
+        want = np.asarray(qformer_caption_apply(p, img, text, cfg))
+        cache = qformer_caption_prefix(p, img, cfg, T)
+        for t in range(T):
+            h, cache = qformer_caption_step(p, cache, text[:, t],
+                                            jnp.int32(t), cfg)
+            np.testing.assert_allclose(np.asarray(h), want[:, t],
+                                       rtol=2e-5, atol=2e-5)
