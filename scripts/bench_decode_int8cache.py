@@ -72,16 +72,25 @@ def run(params, cfg, B, S, cache_dtype, steps=64, prompt_len=32):
 
 DTYPES = {"bf16": jnp.bfloat16, "fp8": jnp.float8_e4m3fn, "int8": jnp.int8}
 
-SWEEP = [("bf16", 32, 192), ("bf16", 64, 192), ("fp8", 32, 192),
-         ("fp8", 64, 192), ("fp8", 64, 448), ("int8", 32, 192)]
+# "bf16+w8a8": bf16 cache, cfg.w8a8=True — every projection through the
+# int8 x int8 MXU dot so the weight stream is pure int8 (no bf16 dequant
+# materialization, the round-2 per-layer residue suspect).
+SWEEP = [("bf16", 32, 192), ("bf16+w8a8", 32, 192), ("bf16", 64, 192),
+         ("fp8", 32, 192), ("fp8", 64, 192), ("fp8", 64, 448),
+         ("int8", 32, 192)]
 
 if __name__ == "__main__":
     if len(sys.argv) == 4:      # one point, clean process
         dt_name, B, S = sys.argv[1], int(sys.argv[2]), int(sys.argv[3])
+        import dataclasses
         from seed_tpu.models import llama as M
         cfg = M.SEED_LLAMA_8B
+        cache_name = dt_name
+        if dt_name.endswith("+w8a8"):
+            cfg = dataclasses.replace(cfg, w8a8=True)
+            cache_name = dt_name[:-len("+w8a8")]
         params = build_params(cfg)
-        tps, ms = run(params, cfg, B, S, DTYPES[dt_name])
+        tps, ms = run(params, cfg, B, S, DTYPES[cache_name])
         print(f"cache={dt_name} B={B} S={S}: {tps:7.1f} tok/s "
               f"({ms:.1f} ms/step)", flush=True)
     else:                       # orchestrate: one subprocess per point
