@@ -47,8 +47,7 @@ def build_weights():
     }
 
 
-def chain_ms(M):
-    w = build_weights()
+def chain_ms(M, w):
     x0 = jnp.asarray(np.random.RandomState(1).randn(M, DIM), jnp.bfloat16)
 
     def layer(x, lw):
@@ -63,7 +62,7 @@ def chain_ms(M):
         return x + d, None
 
     @jax.jit
-    def sweep(x):
+    def sweep(x, w):
         def one(x, _):
             y, _ = jax.lax.scan(
                 layer, x,
@@ -73,10 +72,11 @@ def chain_ms(M):
         y, _ = jax.lax.scan(one, x, None, length=SWEEPS)
         return y
 
-    y = sweep(x0)
+    sweep_w = lambda x: sweep(x, w)
+    y = sweep_w(x0)
     np.asarray(y[0, 0])                      # tunnel-safe sync
     t0 = time.perf_counter()
-    y = sweep(x0)
+    y = sweep_w(x0)
     np.asarray(y[0, 0])
     ms = (time.perf_counter() - t0) / SWEEPS * 1e3
     wbytes = sum(int(np.prod(w[k].shape)) for k in ("qkvo", "gate_up", "down"))
@@ -88,5 +88,10 @@ def chain_ms(M):
 
 if __name__ == "__main__":
     Ms = [int(a) for a in sys.argv[1:]] or [32, 64, 128]
+    # weights as device_put'ed jit ARGS, not captured constants — a
+    # 6.48GB constant tree makes lowering+upload through the tunnel
+    # pathological (>25 min, observed)
+    w = jax.device_put(build_weights(), jax.devices()[0])
+    jax.block_until_ready(w)
     for M in Ms:
-        chain_ms(M)
+        chain_ms(M, w)
