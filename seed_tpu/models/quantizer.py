@@ -136,3 +136,78 @@ def ema_update(params, z: jnp.ndarray, indices: jnp.ndarray,
     smoothed = (cluster + eps) / (n + n_codes * eps) * n
     return {"codebook": avg / smoothed[:, None],
             "cluster_size": cluster, "embed_avg": avg}
+
+
+# ---- Norm-EMA quantizer (NormEMAVectorQuantizer, the discrete-vision-model
+#      codebook: MultiModalLLM/src/tokenizer/.../quantizer.py:239-329) ------
+
+def _l2norm(x, eps: float = 1e-12):
+    return x / jnp.maximum(jnp.linalg.norm(x, axis=-1, keepdims=True), eps)
+
+
+def norm_ema_quantize(params, z: jnp.ndarray, beta: float = 0.25) -> VQResult:
+    """Norm-EMA VQ forward (quantizer.py:274-334 semantics).
+
+    z is l2-normalized BEFORE the nearest-code search; the codebook rows
+    live on the unit sphere (maintained by ``norm_ema_update``). The only
+    gradient loss is the commitment term ``beta * mean((sg(z_q) - z)^2)``
+    — the codebook itself learns via EMA, not backprop. Straight-through
+    on the normalized z.
+    """
+    zf = _l2norm(z.astype(jnp.float32))
+    idx = nearest_codes(params["codebook"], zf)
+    z_q = jnp.take(params["codebook"], idx, axis=0).astype(jnp.float32)
+    sg = jax.lax.stop_gradient
+    loss = beta * jnp.mean((sg(z_q) - zf) ** 2)
+    out = (zf + sg(z_q - zf)).astype(z.dtype)
+    return VQResult(out, idx, loss)
+
+
+def norm_ema_update(params, z: jnp.ndarray, indices: jnp.ndarray,
+                    decay: float = 0.99, axis_name: str | None = None):
+    """Norm-EMA codebook step (quantizer.py:303-325), pure-functional.
+
+    Per-code means of the (normalized) assigned vectors are l2-normalized,
+    codes with zero assignments keep their old row, and the EMA'd weight
+    is re-projected onto the unit sphere (norm_ema_inplace :237-239).
+    ``axis_name`` psums bins/sums across data-parallel devices — the
+    reference's ``all_reduce_fn`` under DDP.
+    """
+    n_codes = params["codebook"].shape[0]
+    zf = _l2norm(z.reshape(-1, z.shape[-1]).astype(jnp.float32))
+    onehot = jax.nn.one_hot(indices.reshape(-1), n_codes, dtype=jnp.float32)
+    bins = onehot.sum(0)
+    sums = onehot.T @ zf
+    if axis_name is not None:
+        bins = jax.lax.psum(bins, axis_name)
+        sums = jax.lax.psum(sums, axis_name)
+    cluster = decay * params["cluster_size"] + (1 - decay) * bins
+    zero = bins == 0
+    mean = sums / jnp.where(zero, 1.0, bins)[:, None]
+    target = jnp.where(zero[:, None], params["codebook"], _l2norm(mean))
+    weight = _l2norm(decay * params["codebook"] + (1 - decay) * target)
+    return {"codebook": weight, "cluster_size": cluster,
+            "embed_avg": params.get("embed_avg", weight)}
+
+
+def kmeans_init_codebook(key, samples: jnp.ndarray, n_codes: int,
+                         iters: int = 10):
+    """Cosine-similarity k-means codebook init (EmbeddingEMA kmeans_init,
+    quantizer.py:149-176 + :211-217). samples [N, D] (normalized inside);
+    returns unit-norm [n_codes, D] means (empty clusters keep their seed)."""
+    x = _l2norm(samples.astype(jnp.float32))
+    n = x.shape[0]
+    perm = jax.random.permutation(key, n)
+    idx = perm[:n_codes] if n >= n_codes else jax.random.randint(
+        key, (n_codes,), 0, n)
+    means = x[idx]
+
+    def step(means, _):
+        buckets = jnp.argmax(x @ means.T, axis=-1)
+        onehot = jax.nn.one_hot(buckets, n_codes, dtype=jnp.float32)
+        bins = onehot.sum(0)
+        new = _l2norm((onehot.T @ x) / jnp.maximum(bins, 1.0)[:, None])
+        return jnp.where((bins == 0)[:, None], means, new), None
+
+    means, _ = jax.lax.scan(step, means, None, length=iters)
+    return means
