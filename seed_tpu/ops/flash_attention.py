@@ -20,9 +20,9 @@ than XLA at every shape tried):
   standard FA-2 recurrence (delta = rowsum(dO*O) precomputed in XLA);
   chunked-prefill offsets fall back to an XLA recompute
 - short NON-causal sequences (the ViT's S=257): _short_mha — grid over
-  (batch, head-groups) only, ~8 heads unrolled per program, one-pass
-  fp32 softmax entirely in VMEM, no host-side padding (Mosaic masks the
-  ragged S=257 / D=88 edges)
+  (batch, head-groups) only, ~8 heads per program via one batched
+  dot_general pair, one-pass fp32 softmax entirely in VMEM, no
+  host-side padding (Mosaic masks the ragged S=257 / D=88 edges)
 
 The public entry ``flash_attention(q, k, v)`` takes [B, S, H, D] (the
 seed_tpu convention), handles GQA by repeating kv heads, pads S to the
@@ -175,30 +175,33 @@ def _short_mha_kernel(q_ref, k_ref, v_ref, o_ref, *, sm_scale: float):
     B*H tiny programs whose fixed per-step cost (DMA pipeline fill,
     program switch) dwarfs the ~0.4 GFLOP of attention math — measured
     barely faster than the XLA path (398 vs 420 ms full-encode, B=64).
-    Here one program handles ALL heads of one batch element: grid (B,),
-    an unrolled head loop, and a plain one-pass softmax (the whole
-    [S, S] score block lives in VMEM — no online rescaling needed).
+    Here one program handles a GROUP of heads of one batch element:
+    grid (B, groups), one batched-over-heads dot_general pair, and a
+    plain one-pass softmax (the whole [hg, S, S] score block lives in
+    VMEM — no online rescaling needed).
     Shapes stay logical (S=257, D=88): Mosaic masks the ragged
     sublane/lane edges, so no host-side padding, masking, or transposed
     copies of the score matrix ever touch HBM.
     """
-    H = q_ref.shape[1]
-    for h in range(H):
-        q = q_ref[0, h]                       # [S, D]
-        k = k_ref[0, h]
-        v = v_ref[0, h]
-        s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32) * sm_scale
-        m = jnp.max(s, axis=1, keepdims=True)
-        p = jnp.exp(s - m)
-        l = jnp.sum(p, axis=1, keepdims=True)
-        # normalize the [S, D] output, not the [S, S] probabilities —
-        # one fewer full-score-block VPU pass (measured -21%/call)
-        o = jax.lax.dot_general(
-            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
-        o_ref[0, h] = (o / l).astype(o_ref.dtype)
+    q = q_ref[0]                              # [hg, S, D]
+    k = k_ref[0]
+    v = v_ref[0]
+    # ONE batched dot_general over the head group instead of a python
+    # loop of per-head matmuls: Mosaic schedules a fused batched matmul,
+    # removing the head-loop serialization (probe_short_attn2.py:
+    # 1.405 -> 1.327 ms/call at the EVA shape, B=64 S=257 hg=8 D=88)
+    s = jax.lax.dot_general(
+        q, k, (((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32) * sm_scale   # [hg, S, S]
+    m = jnp.max(s, axis=2, keepdims=True)
+    p = jnp.exp(s - m)
+    l = jnp.sum(p, axis=2, keepdims=True)
+    # normalize the [hg, S, D] output, not the [hg, S, S] probabilities —
+    # one fewer full-score-block VPU pass (measured -21%/call)
+    o = jax.lax.dot_general(
+        p.astype(v.dtype), v, (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)              # [hg, S, D]
+    o_ref[0] = (o / l).astype(o_ref.dtype)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
