@@ -233,8 +233,12 @@ def _lin(p, x, cfg: LlamaConfig):
 
 
 def _layer_apply(p, x, positions, mask, cfg: LlamaConfig,
-                 layer_cache=None, cache_index=None, use_flash=False):
-    """One decoder layer. Returns (x, new_layer_cache or None)."""
+                 layer_cache=None, cache_index=None, use_flash=False,
+                 attn_fn=None):
+    """One decoder layer. Returns (x, new_layer_cache or None).
+
+    ``attn_fn(q, k, v) -> [B, N, H, D]`` overrides the cache-less attention
+    (sequence-parallel ring attention injects itself here)."""
     B, N, d = x.shape
     H, Hkv, hd = cfg.heads, cfg.kv_heads, cfg.head_dim
 
@@ -267,7 +271,9 @@ def _layer_apply(p, x, positions, mask, cfg: LlamaConfig,
         x = x + _lin(p["down_proj"], gate * _lin(p["up_proj"], h, cfg), cfg)
         return x, (ckv, cscale)
 
-    if use_flash:
+    if attn_fn is not None:
+        o = attn_fn(q, k, v).reshape(B, N, d)
+    elif use_flash:
         # training path: Pallas flash attention (O(S) memory). Right-padded
         # batches are safe under pure causal masking — real tokens never
         # attend forward into padding; pad positions carry no loss.
@@ -321,33 +327,40 @@ def _logits(params, x, cfg: LlamaConfig) -> jnp.ndarray:
 def forward(params, input_ids: jnp.ndarray, cfg: LlamaConfig,
             positions: Optional[jnp.ndarray] = None,
             attn_mask: Optional[jnp.ndarray] = None,
-            remat: bool = False, use_flash: bool = False) -> jnp.ndarray:
+            remat: bool = False, use_flash: bool = False,
+            attn_fn=None) -> jnp.ndarray:
     """Training/eval forward over a full sequence -> logits [B, N, V].
 
     ``attn_mask`` [B, N] (1 = real token) combines with the causal mask —
     matching LlamaModel.forward (llama_xformer.py:496-560).
     ``use_flash`` routes attention through the Pallas flash kernel
     (right-padding assumed; attn_mask then only affects the loss side).
+    ``attn_fn`` replaces attention entirely (e.g. sequence-parallel ring
+    attention, which owns its own causal masking across shards).
     """
     B, N = input_ids.shape
     x = L.embed(params["embed_tokens"], input_ids)
     if positions is None:
         positions = jnp.arange(N, dtype=jnp.int32)
-    mask = sliced_causal_mask(N, N, 0)
-    if attn_mask is not None:
-        mask = mask & attn_mask[:, None, None, :].astype(bool)
+    if attn_fn is not None:
+        mask = None   # attn_fn owns masking (N here is a sequence SHARD)
+    else:
+        mask = sliced_causal_mask(N, N, 0)
+        if attn_mask is not None:
+            mask = mask & attn_mask[:, None, None, :].astype(bool)
 
     if remat:
         body = jax.checkpoint(
             lambda p, xx: _layer_apply(p, xx, positions, mask, cfg,
-                                       use_flash=use_flash)[0])
+                                       use_flash=use_flash,
+                                       attn_fn=attn_fn)[0])
 
         def step(carry, lp):
             return body(lp, carry), None
     else:
         def step(carry, lp):
             return _layer_apply(lp, carry, positions, mask, cfg,
-                                use_flash=use_flash)[0], None
+                                use_flash=use_flash, attn_fn=attn_fn)[0], None
 
     x, _ = jax.lax.scan(step, x, params["layers"])
     return _logits(params, x, cfg)
