@@ -86,13 +86,26 @@ def bench_decode_8b():
             index=jnp.asarray(prompt_len, jnp.int32))
         tok = jnp.ones((B,), jnp.int32)
         key = jax.random.PRNGKey(0)
-        toks, _, cache, key = loop(params, tok, cache, key)  # compile+warmup
-        np.asarray(toks[:, -1])                              # sync
-        tok = toks[:, -1]
-        t0 = time.perf_counter()
-        toks, _, cache, key = loop(params, tok, cache, key)
-        np.asarray(toks[:, -1])                              # sync point
-        dt = time.perf_counter() - t0
+        # Warmup x3: the first invocation of a freshly-(cache-)compiled
+        # program through the axon tunnel reads 5-10x slow (PERF.md round 3
+        # methodology note; this is what made BENCH_r03 record 91 tok/s
+        # where the reproduced steady-state is ~930). Then time >=3 loop
+        # invocations and report the MEDIAN, printing per-iteration times
+        # so a residual cold read is visible in the tail.
+        for _ in range(3):
+            toks, _, cache, key = loop(params, tok, cache, key)
+            np.asarray(toks[:, -1])                          # sync
+            tok = toks[:, -1]
+        iters = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            toks, _, cache, key = loop(params, tok, cache, key)
+            np.asarray(toks[:, -1])                          # sync point
+            iters.append(time.perf_counter() - t0)
+            tok = toks[:, -1]
+        print(f"# decode per-iteration tok/s: "
+              f"{[round(B * steps / t, 1) for t in iters]}", flush=True)
+        dt = sorted(iters)[len(iters) // 2]
         return B * steps / dt
     except Exception as e:  # OOM / compile limits: report encode only
         import traceback
@@ -147,7 +160,10 @@ def main():
             raw = np.random.RandomState(0).randint(
                 0, 256, size=(batch, 224, 224, 3)).astype(np.uint8)
             raw = jnp.asarray(raw)
-            np.asarray(fn(p, raw))  # compile + warmup
+            # compile + 2 warmups (first post-compile invocation reads slow
+            # through the tunnel — see the decode methodology note)
+            np.asarray(fn(p, raw))
+            np.asarray(fn(p, raw))
             # NOTE: device->host transfer is the sync point; on the axon
             # tunnel block_until_ready() returns before execution completes.
             n_iters = 5
@@ -194,6 +210,25 @@ def main():
         "exact_best": round(best_exact, 2),
         "note": "exact path is bit-exact vs torch parity; fast path is "
                 "W8A8+flash+tanh with the stated token-id agreement",
+        "methodology": "per-iteration host sync since r03 (r02 synced only "
+                       "the last of 5 iters, inflating r02 by ~10-15%); "
+                       "decode: 3 warmup loop invocations then median of 3 "
+                       "timed (r03's single-warmup read a 10x-slow cold "
+                       "first invocation)",
+        # earned numbers from PERF.md probe scripts, carried so the driver
+        # record holds them (round + script cited; not re-measured here):
+        "reference_measurements": {
+            "stage1_train_img_s": {"value": 117.2, "note":
+                "B=32 joint ITC+ITM+LM fwd+bwd 273 ms/step, r02, "
+                "scripts/bench_stage1_step.py"},
+            "stage2_train_img_s": {"value": 139.1, "note":
+                "B=32 precomputed-distill-target step 228 ms, r03, "
+                "scripts/bench_stage2_step.py"},
+            "e2e_8b_offload_demo": {"encode_s": 0.033, "gen_tok_s": 65.1,
+                                    "diffusion_s": 71.4, "note":
+                "warm-phase compute, one-chip host-offload, r03, "
+                "scripts/demo_8b_offload.py (swaps tunnel-bound: PERF.md)"},
+        },
     }
     if decode_tps is not None:
         detail["decode_tok_s"] = round(decode_tps, 2)

@@ -343,6 +343,11 @@ def forward(params, input_ids: jnp.ndarray, cfg: LlamaConfig,
     if positions is None:
         positions = jnp.arange(N, dtype=jnp.int32)
     if attn_fn is not None:
+        if attn_mask is not None:
+            raise ValueError(
+                "attn_fn owns masking entirely (sequence-parallel shards "
+                "cannot see a global [B, N] mask); fold padding into the "
+                "loss labels instead of passing attn_mask with attn_fn")
         mask = None   # attn_fn owns masking (N here is a sequence SHARD)
     else:
         mask = sliced_causal_mask(N, N, 0)

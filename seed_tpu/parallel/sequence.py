@@ -51,9 +51,11 @@ def ring_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     idx = jax.lax.axis_index(axis_name)
     B, Nl, H, D = q.shape
     h_kv = k.shape[2]
-    if h_kv != H:
-        k = jnp.repeat(k, H // h_kv, axis=2)
-        v = jnp.repeat(v, H // h_kv, axis=2)
+    g = H // h_kv
+    # GQA: K/V stay at H_kv width through the whole ring (each ppermute hop
+    # moves H_kv*D bytes per position, not H*D) — the grouped einsum below
+    # broadcasts the shared heads instead of materializing repeats.
+    qg = q.reshape(B, Nl, h_kv, g, D)
     scale = D ** -0.5 if scale is None else scale
 
     rows = idx * Nl + jax.lax.broadcasted_iota(jnp.int32, (Nl, Nl), 0)
@@ -67,8 +69,9 @@ def ring_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     kb, vb = k, v
     for step in range(size):                          # size is static: unrolled
         src = (idx - step) % size                     # origin rank of kb/vb
-        scores = jnp.einsum("bnhd,bmhd->bhnm", q, kb,
+        scores = jnp.einsum("bnkgd,bmkd->bkgnm", qg, kb,
                             preferred_element_type=jnp.float32) * scale
+        scores = scores.reshape(B, H, Nl, Nl)
         if causal:
             mask = (src * Nl + cols_local) <= rows    # [Nl, Nl] global causal
             scores = jnp.where(mask, scores, NEG_INF)
@@ -78,9 +81,10 @@ def ring_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
             p = jnp.where(mask, p, 0.0)
         corr = jnp.exp(m - m_new)
         l = l * corr + p.sum(axis=-1)
+        pg = p.astype(vb.dtype).reshape(B, h_kv, g, Nl, Nl)
         o = o * corr.transpose(0, 2, 1)[..., None] + jnp.einsum(
-            "bhnm,bmhd->bnhd", p.astype(vb.dtype), vb,
-            preferred_element_type=jnp.float32)
+            "bkgnm,bmkd->bnkgd", pg, vb,
+            preferred_element_type=jnp.float32).reshape(B, Nl, H, D)
         m = m_new
         if step < size - 1:
             kb = jax.lax.ppermute(kb, axis_name, perm)
