@@ -20,6 +20,11 @@ def main():
     ap.add_argument("--text-tokenizer", default=None)
     ap.add_argument("--host", default="0.0.0.0")
     ap.add_argument("--port", type=int, default=7890)
+    ap.add_argument("--keep-ratio", action="store_true",
+                    help="Resize(short side)+CenterCrop instead of square "
+                         "resize (models/transforms.py get_transform "
+                         "keep_ratio branch; the shipped demo config uses "
+                         "keep_ratio=False)")
     ap.add_argument("--offload", action="store_true",
                     help="pin tokenizer + diffusion params on host CPU and "
                          "swap them into HBM per call (fits the 8B demo on "
@@ -56,7 +61,8 @@ def main():
     iface = SeedLlamaInterface(LlamaEngine(llm, cfg), tok_params,
                                SEED_TOKENIZER, text_tok, diffusion=diffusion,
                                offload=args.offload)
-    serve(GenerateService(iface), host=args.host, port=args.port)
+    serve(GenerateService(iface, keep_ratio=args.keep_ratio),
+          host=args.host, port=args.port)
 
 
 if __name__ == "__main__":

@@ -63,14 +63,26 @@ def _pil_bicubic_weight(x: np.ndarray, a: float = -0.5) -> np.ndarray:
     return np.where(x < 1.0, w1, np.where(x < 2.0, w2, 0.0))
 
 
+def _pil_bilinear_weight(x: np.ndarray) -> np.ndarray:
+    x = np.abs(x)
+    return np.where(x < 1.0, 1.0 - x, 0.0)
+
+
+# (weight fn, filter support) per PIL filter — Resample.c BILINEAR/BICUBIC
+_PIL_FILTERS = {"bicubic": (_pil_bicubic_weight, 2.0),
+                "bilinear": (_pil_bilinear_weight, 1.0)}
+
+
 @functools.lru_cache(maxsize=64)
-def _pil_coeff_matrix(in_size: int, out_size: int) -> np.ndarray:
+def _pil_coeff_matrix(in_size: int, out_size: int,
+                      filt: str = "bicubic") -> np.ndarray:
     """Dense [out, in] int32 coefficient matrix reproducing PIL
     precompute_coeffs + normalize_coeffs_8bpc exactly (support window,
     per-row normalization, round-half-away quantization)."""
+    weight_fn, base_support = _PIL_FILTERS[filt]
     scale = in_size / out_size
     filterscale = max(scale, 1.0)
-    support = 2.0 * filterscale           # bicubic support
+    support = base_support * filterscale
     ss = 1.0 / filterscale
     kk = np.zeros((out_size, in_size), np.int32)
     for xx in range(out_size):
@@ -78,7 +90,7 @@ def _pil_coeff_matrix(in_size: int, out_size: int) -> np.ndarray:
         xmin = int(max(0, np.floor(center - support)))
         xmax = int(min(in_size, np.ceil(center + support)))
         idx = np.arange(xmin, xmax)
-        w = _pil_bicubic_weight((idx - center + 0.5) * ss)
+        w = weight_fn((idx - center + 0.5) * ss)
         w = w / w.sum()
         q = np.where(w >= 0, w * (1 << _PIL_PRECISION_BITS) + 0.5,
                      w * (1 << _PIL_PRECISION_BITS) - 0.5).astype(np.int32)
@@ -86,20 +98,23 @@ def _pil_coeff_matrix(in_size: int, out_size: int) -> np.ndarray:
     return kk
 
 
-def resize_bicubic_pil(images_u8: jnp.ndarray,
-                       size: Tuple[int, int]) -> jnp.ndarray:
+def resize_bicubic_pil(images_u8: jnp.ndarray, size: Tuple[int, int],
+                       interpolation: str = "bicubic") -> jnp.ndarray:
     """BIT-EXACT emulation of ``PIL.Image.resize(size, BICUBIC)`` on uint8
     images — the reference's actual preprocessing numerics (torchvision
     Resize applies PIL's two-pass fixed-point resampler with clip8 after
     each pass). uint8 [B,H,W,C] -> uint8 [B,size[0],size[1],C].
+    ``interpolation`` may be "bicubic" (PIL default for Image.resize and
+    seed_llama_tokenizer.py:51's interpolation=3) or "bilinear"
+    (torchvision transforms.Resize default, models/transforms.py:9).
 
     All-integer math on device: two int32 contractions (horizontal then
     vertical, PIL's pass order) + shift/clip epilogues; coefficient
     tables are built host-side with PIL's exact quantization and cached
     per (in, out) size pair."""
     B, H, W, C = images_u8.shape
-    kh = jnp.asarray(_pil_coeff_matrix(W, size[1]))       # [outW, W]
-    kv = jnp.asarray(_pil_coeff_matrix(H, size[0]))       # [outH, H]
+    kh = jnp.asarray(_pil_coeff_matrix(W, size[1], interpolation))  # [outW, W]
+    kv = jnp.asarray(_pil_coeff_matrix(H, size[0], interpolation))  # [outH, H]
     half = 1 << (_PIL_PRECISION_BITS - 1)
     x = images_u8.astype(jnp.int32)
     acc = jnp.einsum("bhwc,ow->bhoc", x, kh,
@@ -190,3 +205,45 @@ def center_crop_resize(images_u8: jnp.ndarray, image_size: int = 224,
     left = (new_w - image_size) // 2
     x = x[:, top:top + image_size, left:left + image_size, :]
     return normalize(x, dtype)
+
+
+def torchvision_resize_size(h: int, w: int, short: int) -> Tuple[int, int]:
+    """torchvision ``transforms.Resize(short)`` output size: the short side
+    becomes ``short`` and the long side scales with int() TRUNCATION
+    (torchvision functional_pil.resize semantics — NOT round())."""
+    if (w <= h and w == short) or (h <= w and h == short):
+        return h, w
+    if w < h:
+        return int(short * h / w), short
+    return short, int(short * w / h)
+
+
+def torchvision_crop_box(h: int, w: int, size: int) -> Tuple[int, int]:
+    """torchvision ``transforms.CenterCrop(size)`` top/left: uses
+    ``int(round((dim - size) / 2.0))`` — Python banker's rounding, which
+    differs from floor on odd differences (e.g. diff 7 -> top 4 not 3)."""
+    return int(round((h - size) / 2.0)), int(round((w - size) / 2.0))
+
+
+def center_crop_resize_pil(images_u8: jnp.ndarray, image_size: int = 224,
+                           interpolation: str = "bilinear",
+                           dtype=jnp.bfloat16) -> jnp.ndarray:
+    """BIT-EXACT ``Resize(image_size) + CenterCrop(image_size)`` — the
+    reference's keep_ratio=True transform branch
+    (models/transforms.py:8-12; torchvision defaults: BILINEAR
+    interpolation, truncating short-side size math, banker's-rounded crop
+    offsets) — followed by ToTensor + CLIP Normalize, on device.
+
+    uint8 [B,H,W,3] -> normalized [B,image_size,image_size,3] ``dtype``.
+    NOTE: the reference demo's SHIPPED config uses keep_ratio=False
+    (configs/transform/clip_transform.yaml) and the tokenizer's own
+    processor is square BICUBIC (seed_llama_tokenizer.py:51) — this
+    function covers the get_transform default branch for parity."""
+    b, h, w, c = images_u8.shape
+    new_h, new_w = torchvision_resize_size(h, w, image_size)
+    if (new_h, new_w) != (h, w):
+        images_u8 = resize_bicubic_pil(images_u8, (new_h, new_w),
+                                       interpolation=interpolation)
+    top, left = torchvision_crop_box(new_h, new_w, image_size)
+    x = images_u8[:, top:top + image_size, left:left + image_size, :]
+    return normalize(x.astype(jnp.float32) / 255.0, dtype)

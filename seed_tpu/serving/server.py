@@ -51,10 +51,44 @@ def encode_image_b64(arr: np.ndarray) -> str:
 class GenerateService:
     """Framework-agnostic request handler (unit-testable without sockets)."""
 
-    def __init__(self, iface: SeedLlamaInterface, image_size: int = 224):
+    def __init__(self, iface: SeedLlamaInterface, image_size: int = 224,
+                 keep_ratio: bool = False):
+        """``keep_ratio`` selects the reference transform branch
+        (models/transforms.py:4-21): False (default) = square resize —
+        the demo's SHIPPED config (configs/transform/clip_transform.yaml
+        keep_ratio: False) AND the tokenizer's own processor
+        (seed_llama_tokenizer.py:51, BICUBIC); True = Resize(short side,
+        BILINEAR) + CenterCrop, the get_transform signature default."""
         self.iface = iface
         self.image_size = image_size
+        self.keep_ratio = keep_ratio
         self._lock = threading.Lock()   # one TPU, serialized generation
+
+    def _prepare_image(self, img) -> np.ndarray:
+        """PIL image -> uint8 [S, S, 3] with the reference's exact
+        transform numerics. Host-side PIL resampling: PIL *is* the
+        reference numerics (torchvision dispatches to it for PIL input),
+        and serving uploads arrive one-at-a-time in arbitrary sizes —
+        a device resample would recompile per unique size (minutes on
+        the tunnel). Batched uniform-size pipelines should use the
+        device ops (preprocess / center_crop_resize_pil) instead."""
+        from PIL import Image
+        from ..ops.preprocess import (torchvision_crop_box,
+                                      torchvision_resize_size)
+        S = self.image_size
+        if not self.keep_ratio:
+            # transforms.Resize((S, S), interpolation=3) — square BICUBIC
+            return np.asarray(img.resize((S, S), Image.BICUBIC), np.uint8)
+        # transforms.Resize(S) (BILINEAR default) + CenterCrop(S)
+        w, h = img.size
+        new_h, new_w = torchvision_resize_size(h, w, S)
+        if (new_h, new_w) != (h, w):
+            img = img.resize((new_w, new_h), Image.BILINEAR)
+        arr = np.asarray(img, np.uint8)
+        if arr.shape[:2] != (S, S):
+            top, left = torchvision_crop_box(new_h, new_w, S)
+            arr = arr[top:top + S, left:left + S]
+        return arr
 
     def _encode_images(self, image_list: List[Any]) -> List[List[int]]:
         """Mixed base64 / cached-ids inputs -> per-image 32 codes
@@ -65,9 +99,8 @@ class GenerateService:
         for i, item in enumerate(image_list):
             if isinstance(item, str):
                 img = decode_image_b64(item)
-                img = img.resize((self.image_size, self.image_size))
                 pixel_idx.append(i)
-                pixel_imgs.append(np.asarray(img, np.uint8))
+                pixel_imgs.append(self._prepare_image(img))
             else:
                 out[i] = [int(x) for x in item]
         if pixel_imgs:

@@ -182,3 +182,61 @@ class TestCaptionEvalLoop:
         feats = generate_images_for_fid(
             decode_image_fn, [np.ones((2, 32)), np.zeros((3, 32))], feature_fn)
         assert feats.shape == (5, 16)
+
+
+class TestServingTransform:
+    """Serving image transform parity (VERDICT r03 weak #4): both
+    reference branches of models/transforms.py get_transform, token-ID
+    checked on NON-square uploads."""
+
+    def _b64(self, arr):
+        import base64 as _b64mod
+        import io as _io
+        from PIL import Image
+        buf = _io.BytesIO()
+        Image.fromarray(arr).save(buf, format="PNG")
+        return _b64mod.b64encode(buf.getvalue()).decode("ascii")
+
+    def test_square_branch_matches_tokenizer_processor(self, service):
+        """keep_ratio=False (shipped demo config + seed_llama_tokenizer.py
+        :51): host PIL square BICUBIC resize -> same ids as the device
+        pil_exact preprocess on the pre-resized image."""
+        from PIL import Image
+        from seed_tpu.ops.preprocess import preprocess
+        S = service.image_size
+        rng = np.random.RandomState(11)
+        raw = rng.randint(0, 256, (3 * S, 2 * S, 3), dtype=np.uint8)
+        ids = service._encode_images([self._b64(raw)])[0]
+        host = np.asarray(
+            Image.fromarray(raw).resize((S, S), Image.BICUBIC), np.uint8)
+        want = np.asarray(service.iface.encode_image(
+            preprocess(jnp.asarray(host[None]), S)))[0]
+        assert ids == [int(x) for x in want]
+
+    def test_keep_ratio_branch_matches_device_op(self, service):
+        """keep_ratio=True: Resize(short, BILINEAR)+CenterCrop in the
+        server == the device center_crop_resize_pil transform."""
+        from seed_tpu.ops.preprocess import center_crop_resize_pil
+        from seed_tpu.serving.server import GenerateService
+        svc = GenerateService(service.iface, image_size=service.image_size,
+                              keep_ratio=True)
+        S = svc.image_size
+        rng = np.random.RandomState(12)
+        raw = rng.randint(0, 256, (3 * S + 1, 2 * S + 3, 3), dtype=np.uint8)
+        ids = svc._encode_images([self._b64(raw)])[0]
+        want = np.asarray(svc.iface.encode_image(
+            center_crop_resize_pil(jnp.asarray(raw[None]), S)))[0]
+        assert ids == [int(x) for x in want]
+
+    def test_branches_differ_on_nonsquare(self, service):
+        """Sanity: the two branches see different pixels on a non-square
+        upload (the crop drops content the squash keeps)."""
+        from seed_tpu.serving.server import GenerateService
+        svc = GenerateService(service.iface, image_size=service.image_size,
+                              keep_ratio=True)
+        S = service.image_size
+        rng = np.random.RandomState(13)
+        raw = rng.randint(0, 256, (4 * S, S, 3), dtype=np.uint8)
+        a = np.stack(service._encode_images([self._b64(raw)]))
+        b = np.stack(svc._encode_images([self._b64(raw)]))
+        assert (a != b).any()

@@ -118,3 +118,61 @@ class TestResizeParity:
         got = np.asarray(encode(
             params, preprocess(jnp.asarray(raw), S, jnp.float32), cfg))
         np.testing.assert_array_equal(got, want)
+
+
+class TestKeepRatioTransform:
+    """The reference's keep_ratio=True branch (models/transforms.py:8-12):
+    torchvision Resize(short side, BILINEAR) + CenterCrop, emulated
+    bit-exactly on device (center_crop_resize_pil)."""
+
+    def test_torchvision_size_math(self):
+        from seed_tpu.ops.preprocess import torchvision_resize_size
+        # int() truncation, not round(): 224*300/180 = 373.33 -> 373
+        assert torchvision_resize_size(180, 300, 224) == (224, 373)
+        assert torchvision_resize_size(300, 180, 224) == (373, 224)
+        # short side already at target -> unchanged
+        assert torchvision_resize_size(224, 500, 224) == (224, 500)
+        assert torchvision_resize_size(448, 448, 224) == (224, 224)
+
+    def test_torchvision_crop_rounding(self):
+        from seed_tpu.ops.preprocess import torchvision_crop_box
+        # int(round(.)) banker's rounding on odd differences
+        assert torchvision_crop_box(231, 224, 224) == (4, 0)   # round(3.5)=4
+        assert torchvision_crop_box(229, 224, 224) == (2, 0)   # round(2.5)=2
+        assert torchvision_crop_box(230, 226, 224) == (3, 1)
+
+    def test_bilinear_resize_bit_exact_vs_pil(self):
+        from PIL import Image
+        from seed_tpu.ops.preprocess import resize_bicubic_pil
+        rng = np.random.RandomState(3)
+        for h, w in [(256, 256), (180, 300), (112, 112)]:
+            img = rng.randint(0, 256, (h, w, 3), dtype=np.uint8)
+            want = np.asarray(
+                Image.fromarray(img).resize((224, 224), Image.BILINEAR))
+            got = np.asarray(resize_bicubic_pil(
+                jnp.asarray(img[None]), (224, 224),
+                interpolation="bilinear"))[0]
+            np.testing.assert_array_equal(got, want, err_msg=f"{h}x{w}")
+
+    def test_center_crop_resize_pil_matches_host_pipeline(self):
+        """Device keep_ratio transform == host PIL Resize(short,BILINEAR)
+        + torchvision CenterCrop + CLIP normalize, on non-square images."""
+        from PIL import Image
+        from seed_tpu.ops.preprocess import (center_crop_resize_pil,
+                                             normalize,
+                                             torchvision_crop_box,
+                                             torchvision_resize_size)
+        rng = np.random.RandomState(4)
+        S = 224
+        for h, w in [(300, 180), (180, 300), (448, 320)]:
+            img = rng.randint(0, 256, (h, w, 3), dtype=np.uint8)
+            nh, nw = torchvision_resize_size(h, w, S)
+            host = np.asarray(
+                Image.fromarray(img).resize((nw, nh), Image.BILINEAR))
+            top, left = torchvision_crop_box(nh, nw, S)
+            host = host[top:top + S, left:left + S]
+            want = np.asarray(normalize(
+                jnp.asarray(host[None], jnp.float32) / 255.0, jnp.float32))
+            got = np.asarray(center_crop_resize_pil(
+                jnp.asarray(img[None]), S, dtype=jnp.float32))
+            np.testing.assert_array_equal(got, want, err_msg=f"{h}x{w}")
