@@ -34,6 +34,13 @@ def main():
     ap.add_argument("--weight-decay", type=float, default=0.05)
     ap.add_argument("--lora", action="store_true", default=True)
     ap.add_argument("--no-lora", dest="lora", action="store_false")
+    ap.add_argument("--learnable-embeddings-only", action="store_true",
+                    help="restrict embed_tokens/lm_head updates to the new "
+                         "image-token rows (peft_model.py:130-163 "
+                         "get_learnable_image_embedding_model grad hook)")
+    ap.add_argument("--old-vocab-size", type=int, default=32000,
+                    help="first new-vocab row for --learnable-embeddings-only"
+                         " (LLaMA text vocab = 32000)")
     ap.add_argument("--tp", type=int, default=1)
     # Pallas flash attention: measured 1.12x (S=1024) / 1.44x (S=2048)
     # whole-train-step vs the XLA path (PERF.md round 2); shapes below
@@ -109,6 +116,10 @@ def main():
                               args.min_lr_ratio)
     opt = adamw(sched, b1=0.9, b2=0.95, eps=1e-5,
                 weight_decay=args.weight_decay, clip_norm=1.0, params=params)
+    if args.learnable_embeddings_only:
+        from seed_tpu.train import learnable_image_embeddings_only
+        opt = learnable_image_embeddings_only(
+            opt, args.old_vocab_size, vocab_size=cfg.vocab_size)
     trainer = Trainer(loss_fn, params, opt, mesh, rules=LLAMA_TP_RULES,
                       cfg=TrainerConfig(grad_accum=args.grad_accum))
 

@@ -95,3 +95,50 @@ def masked_trainable(tx, params: Any, trainable_pattern: str):
         params)
     return optax.multi_transform({"train": tx, "freeze": optax.set_to_zero()},
                                  param_labels=labels)
+
+
+def learnable_image_embeddings_only(tx, old_vocab_size: int,
+                                    vocab_size: Optional[int] = None):
+    """Restrict embed_tokens / lm_head updates to the NEW image-token rows.
+
+    The reference's ``get_learnable_image_embedding_model`` registers a
+    gradient hook that zeroes every OLD-vocab row of the input and output
+    embedding gradients, so only the 8194 added rows (image codes + BOI/
+    EOI) train (MultiModalLLM/src/model/peft_model.py:130-163). Here the
+    same contract is an optax wrapper over the FINAL update (stronger than
+    a grad hook: decoupled weight decay cannot shrink frozen rows either):
+
+    - ``embed_tokens/embedding`` [V, D]: rows outside
+      [old_vocab_size, vocab_size) get a zero update;
+    - ``lm_head/kernel`` [D, V] (in->out convention; torch's [V, D]
+      transposed at conversion): same mask on the LAST axis;
+    - every other leaf passes through untouched.
+
+    ``vocab_size`` bounds the trainable region so vocab-PADDING rows
+    (padded_vocab > vocab_size) stay pinned too; None = no upper bound.
+    """
+    def row_mask(n):                      # True = trainable row
+        idx = jnp.arange(n)
+        keep = idx >= old_vocab_size
+        if vocab_size is not None:
+            keep &= idx < vocab_size
+        return keep
+
+    def mask_updates(updates):
+        def apply(path, u):
+            name = path_str(path)
+            if name.endswith("embed_tokens/embedding"):
+                return jnp.where(row_mask(u.shape[-2])[:, None], u, 0)
+            if name.endswith("lm_head/kernel"):
+                return jnp.where(row_mask(u.shape[-1])[None, :], u, 0)
+            return u
+        return jax.tree_util.tree_map_with_path(apply, updates)
+
+    def init_fn(params):
+        return tx.init(params)
+
+    def update_fn(grads, state, params=None):
+        updates, state = tx.update(grads, state, params)
+        return mask_updates(updates), state
+
+    return optax.GradientTransformation(init_fn, update_fn)

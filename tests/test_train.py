@@ -122,6 +122,49 @@ class TestLoRA:
         assert fr["layers"]["q_proj"]["kernel"] is not None
 
 
+class TestLearnableImageEmbeddingsOnly:
+    """get_learnable_image_embedding_model equivalent (peft_model.py
+    :130-163): only the NEW vocab rows of embed_tokens/lm_head update."""
+
+    def test_old_rows_receive_exactly_zero_update(self):
+        from seed_tpu.train import learnable_image_embeddings_only
+        old_v = CFG.vocab_size - 12          # pretend last 12 rows are new
+        opt = learnable_image_embeddings_only(
+            adamw(lambda _: 1e-2, weight_decay=0.1), old_v,
+            vocab_size=CFG.vocab_size)
+        params = M.init_llama(jax.random.PRNGKey(0), CFG, jnp.float32)
+        state = opt.init(params)
+        grads = jax.grad(loss_fn)(params, make_batch(), None)
+        # the batch must actually touch both regions for a fair test
+        updates, _ = opt.update(grads, state, params)
+        emb = np.asarray(updates["embed_tokens"]["embedding"])
+        head = np.asarray(updates["lm_head"]["kernel"])
+        assert (emb[:old_v] == 0).all()                      # old rows pinned
+        assert np.abs(emb[old_v:CFG.vocab_size]).max() > 0   # new rows move
+        assert (emb[CFG.vocab_size:] == 0).all()             # padding pinned
+        assert (head[:, :old_v] == 0).all()
+        assert np.abs(head[:, old_v:CFG.vocab_size]).max() > 0
+        assert (head[:, CFG.vocab_size:] == 0).all()
+        # every other leaf passes through the inner optimizer untouched
+        assert np.abs(np.asarray(
+            updates["layers"]["q_proj"]["kernel"])).max() > 0
+
+    def test_weight_decay_cannot_shrink_frozen_rows(self):
+        """Stronger than the reference's grad hook: decoupled weight decay
+        is masked too (the hook zeroes grads but torch AdamW wd would
+        still shrink the rows if they were in a decay group)."""
+        from seed_tpu.train import learnable_image_embeddings_only
+        old_v = CFG.vocab_size - 12
+        opt = learnable_image_embeddings_only(
+            optax.adamw(1e-2, weight_decay=0.5), old_v)
+        params = M.init_llama(jax.random.PRNGKey(0), CFG, jnp.float32)
+        state = opt.init(params)
+        zeros = jax.tree.map(jnp.zeros_like, params)
+        updates, _ = opt.update(zeros, state, params)
+        emb = np.asarray(updates["embed_tokens"]["embedding"])
+        assert (emb[:old_v] == 0).all()
+
+
 class TestShardedTraining:
     def test_fsdp_train_step_runs_and_loss_drops(self):
         mesh = make_mesh(dp=1, fsdp=8, tp=1)
