@@ -251,3 +251,34 @@ def convert_lora(sd: Dict[str, np.ndarray], alpha: float = 32.0,
     r = r if r is not None else (rank or 16)
     return {"adapters": adapters,
             "scale": np.asarray(alpha / r, np.float32)}
+
+
+def convert_inception_torch(sd: Dict[str, np.ndarray],
+                            dtype=np.float32) -> Dict[str, Any]:
+    """torchvision ``inception_v3`` state dict -> seed_tpu inception tree
+    (eval/inception.py), for the FID pool3 feature extractor
+    (MultiModalLLM/src/eval/inception.py:56 models.inception_v3).
+
+    Each BasicConv2d's eval-mode BatchNorm (eps=1e-3) is FOLDED into a
+    per-channel (scale, bias):
+        scale = gamma / sqrt(running_var + eps)
+        bias  = beta - running_mean * scale
+    and the conv weight goes [out, in, kh, kw] -> [kh, kw, in, out].
+    Classifier / aux-classifier keys are ignored (pool3 features only).
+    """
+    from ..eval.inception import BN_EPS, INCEPTION_CONVS
+    params = {}
+    for name, (cin, cout, k, _, _) in INCEPTION_CONVS.items():
+        w = np.asarray(sd[f"{name}.conv.weight"])
+        assert w.shape == (cout, cin, *k), (name, w.shape)
+        gamma = np.asarray(sd[f"{name}.bn.weight"], np.float64)
+        beta = np.asarray(sd[f"{name}.bn.bias"], np.float64)
+        mean = np.asarray(sd[f"{name}.bn.running_mean"], np.float64)
+        var = np.asarray(sd[f"{name}.bn.running_var"], np.float64)
+        scale = gamma / np.sqrt(var + BN_EPS)
+        params[name] = {
+            "kernel": w.transpose(2, 3, 1, 0).astype(dtype),
+            "scale": scale.astype(dtype),
+            "bias": (beta - mean * scale).astype(dtype),
+        }
+    return params
