@@ -55,130 +55,11 @@ import dataclasses
 TPU_CFG_REV = dataclasses.replace(TPU_CFG, use_qformer_image=True)
 
 
-def _build_reference_quantizer(use_qformer_image: bool = False) -> torch.nn.Module:
-    """The live pieces of Blip2QformerQuantizer (qformer_quantizer.py:143-286)
-    with checkpoint-identical attribute names, built directly (the real
-    __init__ downloads eva/bert weights; offline here)."""
-    from functools import partial
-
-    import torch.nn as nn
-
-    qc, qq, rvit = REF.qformer_causual, REF.qformer_quantizer, REF.vit
-
-    visual_encoder = REF.eva_vit.VisionTransformer(
-        img_size=28, patch_size=14, embed_dim=VIT_DIM, depth=VIT_DEPTH,
-        num_heads=VIT_HEADS, mlp_ratio=2.0, qkv_bias=True,
-        use_mean_pooling=False, norm_layer=partial(nn.LayerNorm, eps=1e-6))
-
-    def make_qformer(query_length, encoder_width):
-        c = qc.BertConfig(
-            vocab_size=64, hidden_size=QF_HID, num_hidden_layers=QF_LAYERS,
-            num_attention_heads=QF_HEADS, intermediate_size=QF_INTER,
-            hidden_act="gelu", hidden_dropout_prob=0.0,
-            attention_probs_dropout_prob=0.0, layer_norm_eps=1e-12)
-        c.encoder_width = encoder_width
-        c.add_cross_attention = True
-        c.cross_attention_freq = 2
-        c.query_length = query_length
-        qf = qc.BertLMHeadModel(config=c)
-        # strip exactly what the quantizer strips (qformer_quantizer.py:206-211)
-        qf.cls = None
-        qf.bert.embeddings.word_embeddings = None
-        qf.bert.embeddings.position_embeddings = None
-        for layer in qf.bert.encoder.layer:
-            layer.output = None
-            layer.intermediate = None
-        return qf
-
-    qformer = make_qformer(Q, VIT_DIM)
-
-    class RefQuantizer(nn.Module):
-        def __init__(self):
-            super().__init__()
-            self.visual_encoder = visual_encoder
-            self.ln_vision = nn.LayerNorm(VIT_DIM)
-            self.Qformer = qformer
-            self.query_tokens = nn.Parameter(torch.zeros(1, Q, QF_HID))
-            self.quantize = qq.VectorQuantizer2(N_CODES, CODE_DIM, beta=0.25,
-                                                remap=None,
-                                                sane_index_shape=False)
-            self.encode_task_layer = nn.Sequential(
-                nn.Linear(QF_HID, QF_HID), nn.Tanh(),
-                nn.Linear(QF_HID, CODE_DIM))
-            self.decode_task_layer = nn.Sequential(
-                nn.Linear(CODE_DIM, CODE_DIM), nn.Tanh(),
-                nn.Linear(CODE_DIM, QF_HID))
-            self.pos_embed_image = nn.Parameter(torch.zeros(1, Q, QF_HID))
-            self.blocks_image = nn.ModuleList([
-                rvit.Block(dim=QF_HID, num_heads=2, mlp_ratio=4.0,
-                           qkv_bias=True, qk_scale=None, drop=0.0,
-                           attn_drop=0.0, drop_path=0.0,
-                           norm_layer=partial(nn.LayerNorm, eps=1e-6))
-                for _ in range(2)])
-            if use_qformer_image:
-                # Reverse Q-Former head (qformer_quantizer.py:257-276 /
-                # blip2_qformer_codebook_all_image.py:145-157)
-                self.Reverse_Qformer = make_qformer(1, QF_HID)
-                self.reverse_tokens = nn.Parameter(torch.zeros(1, 1, QF_HID))
-                self.distill_image_proj = nn.Linear(QF_HID, IMG_EMBED)
-            else:
-                self.image_down = nn.Sequential(
-                    nn.Linear(QF_HID, 256, bias=False), nn.ReLU(),
-                    nn.Linear(256, 128, bias=False), nn.ReLU(),
-                    nn.Linear(128, 32, bias=False))
-                self.distill_image_proj = nn.Linear(Q * 32, IMG_EMBED)
-
-        # verbatim pipeline of get_codebook_indices (:288-307)
-        @torch.no_grad()
-        def get_codebook_indices(self, image):
-            image_embeds = self.ln_vision(self.visual_encoder(image))
-            image_atts = torch.ones(image_embeds.size()[:-1], dtype=torch.long)
-            query_tokens = self.query_tokens.expand(image_embeds.shape[0], -1, -1)
-            query_output = self.Qformer.bert(
-                query_embeds=query_tokens,
-                encoder_hidden_states=image_embeds,
-                encoder_attention_mask=image_atts,
-                return_dict=True)
-            query_output_down = self.encode_task_layer(
-                query_output.last_hidden_state)
-            quant, _, embed_ind = self.quantize(query_output_down)
-            embed_ind = embed_ind.reshape(quant.shape[0], -1)
-            return embed_ind, query_output_down
-
-        # verbatim pipeline of get_codebook_entry (:309-338, both variants)
-        @torch.no_grad()
-        def get_codebook_entry(self, indices):
-            quant = self.quantize.get_codebook_entry(indices.reshape(-1))
-            quant = quant.view(indices.shape[0], Q, CODE_DIM)
-            up = self.decode_task_layer(quant)
-            up = up + self.pos_embed_image.repeat(up.shape[0], 1, 1)
-            for blk in self.blocks_image:
-                up = blk(up)
-            if use_qformer_image:
-                query_atts = torch.ones(up.size()[:-1], dtype=torch.long)
-                reverse_tokens = self.reverse_tokens.expand(up.shape[0], -1, -1)
-                out = self.Reverse_Qformer.bert(
-                    query_embeds=reverse_tokens,
-                    encoder_hidden_states=up,
-                    encoder_attention_mask=query_atts,
-                    return_dict=True).last_hidden_state
-                return self.distill_image_proj(out).squeeze(1)
-            down = self.image_down(up)
-            down = down.reshape(down.shape[0], -1)
-            return self.distill_image_proj(down)
-
-    model = RefQuantizer().eval().float()
-    # random but well-scaled weights (seeded): matmul weights small, norms ~1
-    gen = torch.Generator().manual_seed(0)
-    for name, p in model.named_parameters():
-        if "LayerNorm" in name or "norm" in name or "ln_vision" in name:
-            if name.endswith("weight"):
-                p.data = 1.0 + 0.05 * torch.randn(p.shape, generator=gen)
-            else:
-                p.data = 0.05 * torch.randn(p.shape, generator=gen)
-        else:
-            p.data = 0.08 * torch.randn(p.shape, generator=gen)
-    return model
+def _build_reference_quantizer(use_qformer_image: bool = False):
+    """Shared parameterized builder (reference_shims.build_reference_quantizer)
+    at the scaled-down dims, with the seeded well-scaled random init."""
+    from reference_shims import build_reference_quantizer
+    return build_reference_quantizer(TPU_CFG, use_qformer_image, init_seed=0)
 
 
 def _make_pair(use_qformer_image: bool):

@@ -147,3 +147,21 @@ def test_extract_image_ids_smoke(tmp_path):
         rec = pickle.loads(tf.extractfile(names[0]).read())
     assert len(rec["image_ids"]) == 32
     assert all(0 <= i < 8192 for i in rec["image_ids"])
+
+
+@pytest.mark.slow
+def test_acceptance_synthetic_smoke(tmp_path):
+    """The real-weight acceptance runbook dry-runs end-to-end with tiny
+    synthetic weights: tokenizer parity vs the actual reference code,
+    unCLIP structural checks, canonical prompts — and reports pass."""
+    r = run(["scripts/acceptance.py", "--synthetic", "--out", str(tmp_path),
+             "--max-images", "2", "--max-new-tokens", "8",
+             "--diffusion-steps", "2"], timeout=580)
+    assert r.returncode == 0, r.stdout[-2000:] + r.stderr[-2000:]
+    rep = json.load(open(tmp_path / "acceptance.json"))
+    assert rep["pass"] is True
+    st = rep["stages"]
+    assert st["tokenizer_parity"]["status"] == "pass"
+    assert st["tokenizer_parity"]["hard_mismatches"] == 0
+    assert st["unclip_decode"]["status"] == "pass"
+    assert st["canonical_prompts"]["status"] == "pass"
