@@ -1,10 +1,27 @@
 #!/usr/bin/env python
-"""Encode throughput across serving variants: bf16, +flash-attention,
-+W8A8, both. Token-id agreement measured against plain bf16.
+"""The encode agreement/throughput frontier (VERDICT r03 next #7).
 
-    python scripts/bench_encode_variants.py
+Every serving lever measured SEPARATELY and in combination against the
+exact bf16 path, full scale on the chip, with deterministic seeds:
+
+  - flash        Pallas short-seq attention, fast epilogue
+  - flash_exact  same kernel, op-faithful epilogue (probe_exact_attn.py)
+  - tanh         tanh GELU instead of exact erf
+  - w8a8         int8 weights AND activations on the ViT hot matmuls
+
+Agreement is a per-batch random variable (flips concentrate at VQ
+near-ties of the random init codebook — see probe_exact_attn.py's margin
+analysis), so it is reported as mean/std/min over ``--batches`` disjoint
+fixed-seed batches: the spread explains the r03 0.9639-vs-0.9497 "drift"
+(two single-batch samples of this distribution).
+
+Timing: per-iteration host sync, median of ``--iters``.
+
+    PYTHONPATH=/root/repo python scripts/bench_encode_variants.py
 """
+import argparse
 import dataclasses
+import json
 import os
 import sys
 import time
@@ -34,18 +51,13 @@ def enc_fn(c):
     return f
 
 
-def timeit(fn, p, raw, iters=8):
-    ids = np.asarray(fn(p, raw))
-    t0 = time.perf_counter()
-    for _ in range(iters - 1):
-        fn(p, raw)
-    np.asarray(fn(p, raw))
-    return ids, (time.perf_counter() - t0) / iters
-
-
-if __name__ == "__main__":
-    print(f"device: {jax.devices()[0]}", flush=True)
-    B = 64
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=64)
+    ap.add_argument("--batches", type=int, default=6)
+    ap.add_argument("--iters", type=int, default=5)
+    args = ap.parse_args()
+    B = args.batch
     cfg = SEED_TOKENIZER
     cpu = jax.devices("cpu")[0]
     with jax.default_device(cpu):
@@ -54,26 +66,55 @@ if __name__ == "__main__":
         qparams, qcfg = quantize_for_serving(params, cfg)
     params = jax.device_put(params, jax.devices()[0])
     qparams = jax.device_put(qparams, jax.devices()[0])
-    raw = jnp.asarray(np.random.RandomState(0).randint(
-        0, 256, size=(B, 224, 224, 3)).astype(np.uint8))
 
-    flash = lambda c: dataclasses.replace(
-        c, vit=dataclasses.replace(c.vit, use_flash=True))
-    tanh = lambda c: dataclasses.replace(
-        c, vit=dataclasses.replace(c.vit, act="gelu_tanh"))
-
+    vit = lambda c, **kw: dataclasses.replace(
+        c, vit=dataclasses.replace(c.vit, **kw))
     variants = [
-        ("bf16                ", params, cfg),
-        ("bf16 + flash        ", params, flash(cfg)),
-        ("w8a8                ", qparams, qcfg),
-        ("w8a8 + flash        ", qparams, flash(qcfg)),
-        ("w8a8 + flash + tanh ", qparams, tanh(flash(qcfg))),
+        ("bf16_exact", params, cfg),
+        ("flash", params, vit(cfg, use_flash=True)),
+        ("flash_exact", params, vit(cfg, use_flash=True, flash_exact=True)),
+        ("tanh", params, vit(cfg, act="gelu_tanh")),
+        ("w8a8", qparams, qcfg),
+        ("w8a8_flash", qparams, vit(qcfg, use_flash=True)),
+        ("w8a8_flash_tanh", qparams,
+         vit(qcfg, use_flash=True, act="gelu_tanh")),
     ]
+
+    corpus = [jnp.asarray(np.random.RandomState(100 + b).randint(
+        0, 256, (B, 224, 224, 3), dtype=np.uint8))
+        for b in range(args.batches)]
+    timing_raw = corpus[0]
+
+    results = {}
     ref_ids = None
     for tag, p, c in variants:
-        ids, dt = timeit(enc_fn(c), p, raw)
+        fn = enc_fn(c)
+        ids = [np.asarray(fn(p, raw)) for raw in corpus]
+        # timing: 2 warmups (compile happened above), per-iter sync, median
+        np.asarray(fn(p, timing_raw))
+        ts = []
+        for _ in range(args.iters):
+            t0 = time.perf_counter()
+            np.asarray(fn(p, timing_raw))
+            ts.append(time.perf_counter() - t0)
+        dt = sorted(ts)[len(ts) // 2]
         if ref_ids is None:
             ref_ids = ids
-        agree = (ids == ref_ids).mean()
-        print(f"{tag}: {B/dt:6.1f} img/s ({dt*1e3:.0f} ms)  "
-              f"agreement {agree:.4f}", flush=True)
+        per_batch = np.asarray([(a == r).mean()
+                                for a, r in zip(ids, ref_ids)])
+        results[tag] = {
+            "img_s": round(B / dt, 1),
+            "agreement_mean": round(float(per_batch.mean()), 4),
+            "agreement_std": round(float(per_batch.std()), 4),
+            "agreement_min": round(float(per_batch.min()), 4),
+        }
+        print(f"# {tag:16s} {B/dt:6.1f} img/s  agree "
+              f"{per_batch.mean():.4f} +/- {per_batch.std():.4f} "
+              f"(min {per_batch.min():.4f})", flush=True)
+    print(json.dumps({"batch": B, "batches": args.batches,
+                      "n_tokens_per_batch": int(ref_ids[0].size),
+                      "frontier": results}))
+
+
+if __name__ == "__main__":
+    main()

@@ -60,6 +60,12 @@ class ViTConfig:
     # scripts/probe_encode_cost.py); the kernel keeps scores in VMEM.
     # Same math (fp32 softmax), float-reassociated.
     use_flash: bool = False
+    # With use_flash: run the kernel's OP-FAITHFUL branch (normalize the
+    # fp32 probabilities and round to bf16 BEFORE P@V, exactly the XLA
+    # mha op sequence) instead of the faster normalize-at-end epilogue.
+    # This is what lets the bit-exact encode path keep its VQ indices
+    # while moving attention off the HBM score tensor (PERF.md round 4).
+    flash_exact: bool = False
 
     @property
     def num_patches(self) -> int:
@@ -175,7 +181,7 @@ def block_apply(p, x: jnp.ndarray, cfg: ViTConfig) -> jnp.ndarray:
     v = v.reshape(B, N, H, hd)
     if cfg.use_flash:
         from ..ops.flash_attention import flash_attention
-        o = flash_attention(q, k, v).reshape(B, N, D)
+        o = flash_attention(q, k, v, exact=cfg.flash_exact).reshape(B, N, D)
     else:
         o = mha(q, k, v).reshape(B, N, D)
     x = x + _lin(p["attn"]["proj"], o, cfg)

@@ -167,7 +167,8 @@ def _flash_fwd_bhsd(q, k, v, causal: bool, sm_scale: float, q_offset: int,
     )(q, k, v)
 
 
-def _short_mha_kernel(q_ref, k_ref, v_ref, o_ref, *, sm_scale: float):
+def _short_mha_kernel(q_ref, k_ref, v_ref, o_ref, *, sm_scale: float,
+                      exact: bool = False):
     """All-heads-per-program attention for short sequences.
 
     The flash grid above runs ONE (b, h, q_tile, kv_tile) program per
@@ -196,16 +197,29 @@ def _short_mha_kernel(q_ref, k_ref, v_ref, o_ref, *, sm_scale: float):
     m = jnp.max(s, axis=2, keepdims=True)
     p = jnp.exp(s - m)
     l = jnp.sum(p, axis=2, keepdims=True)
-    # normalize the [hg, S, D] output, not the [hg, S, S] probabilities —
-    # one fewer full-score-block VPU pass (measured -21%/call)
-    o = jax.lax.dot_general(
-        p.astype(v.dtype), v, (((2,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32)              # [hg, S, D]
-    o_ref[0] = (o / l).astype(o_ref.dtype)
+    if exact:
+        # OP-FAITHFUL to the XLA path (ops/attention.mha): normalize the
+        # fp32 probabilities, round them to the io dtype, THEN P@V — the
+        # identical fp32->bf16 rounding sequence, so the exact encode
+        # path can route here without changing a single VQ index
+        # (agreement measured on-chip; see PERF.md round 4). One extra
+        # full-score-block VPU pass vs the fast branch below.
+        pn = (p / l).astype(v.dtype)
+        o_ref[0] = jax.lax.dot_general(
+            pn, v, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32).astype(o_ref.dtype)
+    else:
+        # normalize the [hg, S, D] output, not the [hg, S, S]
+        # probabilities — one fewer full-score-block VPU pass
+        # (measured -21%/call)
+        o = jax.lax.dot_general(
+            p.astype(v.dtype), v, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)          # [hg, S, D]
+        o_ref[0] = (o / l).astype(o_ref.dtype)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
-def _short_mha(q, k, v, sm_scale):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def _short_mha(q, k, v, sm_scale, exact=False):
     """Non-causal attention, q/k/v [B, S, H, D], whole-sequence VMEM."""
     B, Sq, H, D = q.shape
     Sk = k.shape[1]
@@ -222,7 +236,7 @@ def _short_mha(q, k, v, sm_scale):
             break
     hg = H // groups
     out = pl.pallas_call(
-        functools.partial(_short_mha_kernel, sm_scale=sm_scale),
+        functools.partial(_short_mha_kernel, sm_scale=sm_scale, exact=exact),
         out_shape=jax.ShapeDtypeStruct(qt.shape, q.dtype),
         grid=(B, groups),
         in_specs=[
@@ -238,11 +252,11 @@ def _short_mha(q, k, v, sm_scale):
     return out.transpose(0, 2, 1, 3)
 
 
-def _short_mha_fwd_rule(q, k, v, sm_scale):
-    return _short_mha(q, k, v, sm_scale), (q, k, v)
+def _short_mha_fwd_rule(q, k, v, sm_scale, exact=False):
+    return _short_mha(q, k, v, sm_scale, exact), (q, k, v)
 
 
-def _short_mha_bwd_rule(sm_scale, res, g):
+def _short_mha_bwd_rule(sm_scale, exact, res, g):
     q, k, v = res
     _, vjp = jax.vjp(lambda q, k, v: mha(q, k, v, scale=sm_scale), q, k, v)
     return vjp(g)
@@ -491,7 +505,7 @@ _flash.defvjp(_flash_fwd_rule, _flash_bwd_rule)
 
 def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
                     causal: bool = False, scale: Optional[float] = None,
-                    q_offset: int = 0) -> jnp.ndarray:
+                    q_offset: int = 0, exact: bool = False) -> jnp.ndarray:
     """Flash attention on [B, S, H, D] tensors. GQA supported.
 
     Falls back to the XLA path when the sequence is too short for the
@@ -526,7 +540,7 @@ def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     # (see _short_mha_kernel)
     if (not causal and Sq <= 1024 and Sk <= 1024
             and _short_vmem_bytes(Sq, Sk, H, D) < 12 * 1024 * 1024):
-        return _short_mha(q, k, v, scale)
+        return _short_mha(q, k, v, scale, exact)
 
     rnd = lambda s: -(-s // 128) * 128
     return _flash(q, k, v, causal, scale, q_offset,

@@ -88,6 +88,52 @@ class TestFlashForward:
                                    rtol=2e-4, atol=2e-4)
 
 
+class TestShortMhaExactBranch:
+    """The op-faithful branch of _short_mha (normalize fp32 probs, round
+    to io dtype, then P@V — the op sequence of ops/attention.mha). Even in
+    interpret mode the backends may reassociate matmul accumulations
+    (oneDNN on CPU), so the contract is ulp-level agreement — measured
+    0.02% of elements off by one bf16 ulp — vs the fast branch's
+    reordered-rounding divergence, which is orders of magnitude wider.
+    The shipping decision for the exact encode path rests on the
+    full-scale on-chip token-id agreement (scripts/probe_exact_attn.py,
+    PERF.md round 4)."""
+
+    def test_fp32_ulp_close_vit_shape(self):
+        from seed_tpu.ops.flash_attention import _short_mha
+        B, S, H, D = 2, 257, 4, 88
+        q, k, v = rand((B, S, H, D), 7), rand((B, S, H, D), 8), rand((B, S, H, D), 9)
+        got = np.asarray(_short_mha(q, k, v, D ** -0.5, True))
+        want = np.asarray(mha(q, k, v))
+        np.testing.assert_allclose(got, want, atol=1e-6, rtol=1e-5)
+
+    def test_bf16_exact_tighter_than_fast(self):
+        from seed_tpu.ops.flash_attention import _short_mha
+        B, S, H, D = 2, 65, 4, 24
+        q = rand((B, S, H, D), 10).astype(jnp.bfloat16)
+        k = rand((B, S, H, D), 11).astype(jnp.bfloat16)
+        v = rand((B, S, H, D), 12).astype(jnp.bfloat16)
+        want = np.asarray(mha(q, k, v).astype(jnp.float32))
+        got = np.asarray(_short_mha(q, k, v, D ** -0.5, True).astype(jnp.float32))
+        # one bf16 ulp at these magnitudes, and almost everywhere equal
+        np.testing.assert_allclose(got, want, atol=4e-3, rtol=1e-2)
+        assert (got == want).mean() > 0.995
+        fast = np.asarray(_short_mha(q, k, v, D ** -0.5, False).astype(jnp.float32))
+        assert (got == want).mean() >= (fast == want).mean()
+
+    def test_vit_flash_exact_config_routes(self):
+        import dataclasses
+        from seed_tpu.models import vit as V
+        cfg = V.ViTConfig(image_size=28, patch_size=14, dim=32, depth=2,
+                          heads=2, mlp_dim=64)
+        p = V.init_vit(jax.random.PRNGKey(0), cfg)
+        imgs = rand((2, 28, 28, 3), 13)
+        want = V.vit_apply(p, imgs, cfg)
+        got = V.vit_apply(p, imgs, dataclasses.replace(
+            cfg, use_flash=True, flash_exact=True))
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
 class TestFlashBackward:
     def test_grads_match_xla(self):
         B, S, H, D = 1, 256, 2, 128
