@@ -29,6 +29,13 @@ def main():
                     help="pin tokenizer + diffusion params on host CPU and "
                          "swap them into HBM per call (fits the 8B demo on "
                          "one 16GB chip; seed_llama_flask.py:53-84 semantics)")
+    ap.add_argument("--scheduler", action="store_true",
+                    help="serve the LLM through the continuous-batching "
+                         "scheduler: concurrent requests share decode "
+                         "dispatches (slots/decode-chunk below) instead of "
+                         "serializing whole generate calls")
+    ap.add_argument("--slots", type=int, default=8)
+    ap.add_argument("--decode-chunk", type=int, default=8)
     args = ap.parse_args()
 
     import jax
@@ -58,7 +65,13 @@ def main():
     text_tok = (HFTextTokenizer(args.text_tokenizer) if args.text_tokenizer
                 else ByteTextTokenizer())
 
-    iface = SeedLlamaInterface(LlamaEngine(llm, cfg), tok_params,
+    if args.scheduler:
+        from seed_tpu.serving import ScheduledEngine
+        engine = ScheduledEngine(llm, cfg, slots=args.slots,
+                                 decode_chunk=args.decode_chunk)
+    else:
+        engine = LlamaEngine(llm, cfg)
+    iface = SeedLlamaInterface(engine, tok_params,
                                SEED_TOKENIZER, text_tok, diffusion=diffusion,
                                offload=args.offload)
     serve(GenerateService(iface, keep_ratio=args.keep_ratio),

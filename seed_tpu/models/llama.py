@@ -576,6 +576,34 @@ def slot_decode_sample(params, input_ids: jnp.ndarray, active: jnp.ndarray,
     return tok, cache
 
 
+def slot_decode_sample_steps(params, tok0: jnp.ndarray, active: jnp.ndarray,
+                             temperature: jnp.ndarray, top_p: jnp.ndarray,
+                             greedy: jnp.ndarray, cache: SlotCache,
+                             key: jax.Array, cfg: LlamaConfig,
+                             steps: int = 8, top_k: int = 0
+                             ) -> Tuple[jnp.ndarray, "SlotCache"]:
+    """Multi-step scheduling: ``steps`` fused decode+sample iterations in
+    ONE dispatch (lax.scan), amortizing the per-dispatch host round trip
+    that dominates single-step serving through a remote PJRT link. The
+    host truncates each slot's stream at eos/budget afterwards; tokens a
+    slot sampled past its own finish are garbage that only land in THAT
+    slot's cache rows, which the next admit's prefill re-masks (mask is
+    ``col <= length`` and prefill resets length), so they are harmless by
+    construction. tok0 [B] -> tokens [steps, B]."""
+
+    def body(carry, _):
+        tok, c, k = carry
+        k, sub = jax.random.split(k)
+        ntok, c = slot_decode_sample(params, tok[:, None], active,
+                                     temperature, top_p, greedy, c, sub,
+                                     cfg, top_k)
+        return (ntok, c, k), ntok
+
+    (_, cache, _), toks = jax.lax.scan(body, (tok0, cache, key), None,
+                                       length=steps)
+    return toks, cache
+
+
 # --------------------- per-slot cache (continuous batching) -----------------
 
 class SlotCache(NamedTuple):

@@ -6,7 +6,7 @@ from .multimodal import (ByteTextTokenizer, HFTextTokenizer, PromptTemplate,
                          image_ids_to_tokens, segments_to_string,
                          string_to_parts)
 from .offload import OffloadedParams, ResidentParams, wrap_params
-from .scheduler import ContinuousBatcher, Request
+from .scheduler import ContinuousBatcher, Request, ScheduledEngine
 
 __all__ = [
     "CONV_LLAMA_2", "CONV_SEED_LLAMA", "Conversation", "SeparatorStyle",
@@ -14,6 +14,6 @@ __all__ = [
     "ByteTextTokenizer", "HFTextTokenizer", "PromptTemplate", "Segment",
     "SeedLlamaInterface", "image_ids_to_tokens",
     "codes_to_string", "string_to_parts", "segments_to_string",
-    "ContinuousBatcher", "Request",
+    "ContinuousBatcher", "Request", "ScheduledEngine",
     "OffloadedParams", "ResidentParams", "wrap_params",
 ]

@@ -16,6 +16,7 @@ from __future__ import annotations
 import collections
 import functools
 import itertools
+import threading
 from dataclasses import dataclass, field
 from typing import Callable, Dict, List, Optional, Sequence
 
@@ -41,10 +42,16 @@ class ContinuousBatcher:
     def __init__(self, params, cfg: M.LlamaConfig, slots: int = 8,
                  max_len: Optional[int] = None,
                  prompt_buckets: Sequence[int] = (32, 64, 128, 256, 512),
-                 cache_dtype=jnp.bfloat16, seed: int = 0):
+                 cache_dtype=jnp.bfloat16, seed: int = 0,
+                 decode_chunk: int = 1):
         self.params = params
         self.cfg = cfg
         self.slots = slots
+        # >1 = multi-step scheduling: scan this many decode+sample steps
+        # per dispatch (M.slot_decode_sample_steps) and truncate host-side;
+        # amortizes the per-dispatch round trip of a remote PJRT link at
+        # the cost of admits happening only between chunks.
+        self.decode_chunk = decode_chunk
         self.max_len = max_len or cfg.max_seq_len
         self.buckets = sorted(b for b in prompt_buckets if b < self.max_len)
         self.cache = M.init_slot_cache(cfg, slots, self.max_len, cache_dtype)
@@ -65,6 +72,9 @@ class ContinuousBatcher:
         self._decode_sample = jax.jit(
             functools.partial(M.slot_decode_sample, cfg=cfg),
             donate_argnums=(6,), static_argnames=("top_k",))
+        self._decode_sample_steps = jax.jit(
+            functools.partial(M.slot_decode_sample_steps, cfg=cfg),
+            donate_argnums=(6,), static_argnames=("top_k", "steps"))
         self._sample = jax.jit(
             lambda key, logits, t, p, k, s: sample(key, logits, t, p, k, s),
             static_argnums=(2, 3, 4, 5))
@@ -220,6 +230,19 @@ class ContinuousBatcher:
             self.finished[req.request_id] = req
             self.active[slot] = None   # slot freed for the next admit
 
+    def _chunk_budget(self) -> int:
+        """Steps the whole pool can decode before ANY active slot hits its
+        token budget or cache end (eos may still finish one early — those
+        tokens are discarded host-side, see slot_decode_sample_steps)."""
+        rem = []
+        for req in self.active:
+            if req is None:
+                continue
+            rem.append(min(
+                req.gen.max_new_tokens - len(req.tokens),
+                (self.max_len - 1) - (len(req.prompt) + len(req.tokens))))
+        return max(1, min(rem)) if rem else 1
+
     def step(self):
         self._admit()
         active_mask = np.asarray([r is not None for r in self.active])
@@ -232,6 +255,35 @@ class ContinuousBatcher:
         gens = [r.gen if r is not None else GenerationConfig()
                 for r in self.active]
         top_ks = {g.top_k for g, a in zip(gens, active_mask) if a}
+        k_eff = min(self.decode_chunk, self._chunk_budget())
+        # floor to a power of two: ``steps`` is a static shape, so every
+        # distinct value compiles its own program — pow2 bounds the count
+        # at log2(chunk) programs instead of one per budget remainder
+        k_eff = 1 << (k_eff.bit_length() - 1)
+        if len(top_ks) <= 1 and k_eff > 1:
+            temps = np.asarray([g.temperature for g in gens], np.float32)
+            tops = np.asarray([g.top_p for g in gens], np.float32)
+            greedy = np.asarray(
+                [(not g.do_sample) or g.temperature == 0.0 for g in gens])
+            self.key, sub = jax.random.split(self.key)
+            toks_dev, self.cache = self._decode_sample_steps(
+                self.params, jnp.asarray(self.next_tok),
+                jnp.asarray(active_mask), jnp.asarray(temps),
+                jnp.asarray(tops), jnp.asarray(greedy), self.cache, sub,
+                steps=k_eff, top_k=(top_ks.pop() if top_ks else 0))
+            toks = np.asarray(toks_dev)         # [k_eff, slots], ONE transfer
+            live = [self.active[s] is not None for s in range(self.slots)]
+            for t in range(k_eff):
+                for slot in range(self.slots):
+                    if not live[slot]:
+                        continue            # finished mid-chunk: discard tail
+                    req = self.active[slot]
+                    tok = int(toks[t, slot])
+                    req.tokens.append(tok)
+                    self.next_tok[slot] = tok
+                    self._maybe_finish(slot)   # clears the slot when done
+                    live[slot] = self.active[slot] is not None
+            return
         if len(top_ks) > 1:
             logits, self.cache = self._decode(
                 self.params, jnp.asarray(ids), jnp.asarray(active_mask),
@@ -259,3 +311,73 @@ class ContinuousBatcher:
             req.tokens.append(tok)
             self.next_tok[slot] = tok
             self._maybe_finish(slot)
+
+
+class ScheduledEngine:
+    """Engine-compatible facade over :class:`ContinuousBatcher` + a drain
+    thread: concurrent callers (e.g. Flask request handlers — the server
+    runs threaded) submit into one shared slot pool and their requests
+    batch onto the SAME decode dispatches, instead of each request
+    serializing a private engine call (the reference serves one request
+    at a time, gradio_demo/seed_llama_flask.py:172).
+
+    Exposes exactly the surface the serving stack uses
+    (``generate(prompts, gen, seed) -> List[List[int]]``,
+    multimodal.py:214 / server.py:143), so ``SeedLlamaInterface`` — and
+    with it the offloaded tokenizer/diffusion path — composes unchanged.
+
+    Thread contract: the batcher is single-threaded; all mutation happens
+    under one lock. ``step()`` (device dispatch + one host transfer) runs
+    holding it, submitters/waiters take it only briefly.
+    """
+
+    def __init__(self, params, cfg: M.LlamaConfig, slots: int = 8,
+                 max_len: Optional[int] = None,
+                 prompt_buckets: Sequence[int] = (32, 64, 128, 256, 512),
+                 cache_dtype=jnp.bfloat16, seed: int = 0,
+                 decode_chunk: int = 8):
+        self.batcher = ContinuousBatcher(
+            params, cfg, slots=slots, max_len=max_len,
+            prompt_buckets=prompt_buckets, cache_dtype=cache_dtype,
+            seed=seed, decode_chunk=decode_chunk)
+        self._cv = threading.Condition()
+        self._closed = False
+        self._thread = threading.Thread(target=self._drain, daemon=True)
+        self._thread.start()
+
+    def register_prefix(self, prefix: Sequence[int]) -> None:
+        with self._cv:
+            self.batcher.register_prefix(prefix)
+
+    def generate(self, prompts: Sequence[Sequence[int]],
+                 gen: Optional[GenerationConfig] = None,
+                 seed: Optional[int] = None) -> List[List[int]]:
+        """Blocks until all ``prompts`` finish; safe from many threads."""
+        with self._cv:
+            if seed is not None:
+                # per-request reseeding folds into the shared stream (the
+                # batcher samples all slots with one key); deterministic
+                # only when requests arrive in a deterministic order
+                self.batcher.key = jax.random.fold_in(
+                    jax.random.PRNGKey(seed), 0)
+            rids = [self.batcher.submit(list(p), gen) for p in prompts]
+            self._cv.notify_all()
+            self._cv.wait_for(
+                lambda: all(r in self.batcher.finished for r in rids))
+            return [self.batcher.finished[r].tokens for r in rids]
+
+    def close(self):
+        with self._cv:
+            self._closed = True
+            self._cv.notify_all()
+        self._thread.join()
+
+    def _drain(self):
+        while True:
+            with self._cv:
+                self._cv.wait_for(
+                    lambda: self._closed or self.batcher.has_work())
+                if self._closed:
+                    return
+                self.batcher.step()
+                self._cv.notify_all()

@@ -544,3 +544,54 @@ class TestBeamSearch:
                 max_new_tokens=5, num_beams=3, eos_token_id=-1,
                 length_penalty=lp))[0]
             assert got == want, lp
+
+
+class TestSeedLlama14B:
+    """The 14B path is load-bearing, not just a config constant
+    (/root/reference/scripts/seed_llama_inference_14B.py)."""
+
+    def test_config_divisibility(self):
+        cfg = M.SEED_LLAMA_14B
+        assert cfg.dim % cfg.heads == 0 and cfg.dim // cfg.heads == 128
+        assert cfg.heads == cfg.kv_heads == 40      # llama2-13b is MHA
+        assert cfg.padded_vocab % 128 == 0
+        for tp in (2, 4, 8):                         # shardable dims
+            assert cfg.heads % tp == 0
+            assert cfg.dim % tp == 0 and cfg.ffn_dim % tp == 0
+
+    def test_int8_single_chip_memory_verdict(self):
+        """int8 weights + bf16 cache at the serving shape, from the real
+        eval_shape byte counts: B=8 fits one 15.75 GiB v5e, B=32 does
+        not (needs fp8 cache or TP) — the documented serving envelope."""
+        from seed_tpu.ops.quantization import quantize_tree
+        cfg = M.SEED_LLAMA_14B
+        shapes = jax.eval_shape(
+            lambda k: quantize_tree(M.init_llama(k, cfg, jnp.bfloat16)),
+            jax.random.PRNGKey(0))
+        wbytes = sum(np.prod(s.shape) * s.dtype.itemsize
+                     for s in jax.tree.leaves(shapes))
+        cbytes = lambda B, S: sum(
+            np.prod(s.shape) * s.dtype.itemsize for s in jax.tree.leaves(
+                jax.eval_shape(lambda: M.init_cache(cfg, B, S))))
+        gb = 1 << 30
+        assert 11.9 * gb < wbytes < 13.0 * gb       # 13B int8 + scales: 12.4
+        assert (wbytes + cbytes(8, 192)) < 15.0 * gb      # B=8 fits (13.6)
+        assert (wbytes + cbytes(32, 192)) > 15.75 * gb    # B=32 does not (17.1)
+
+    def test_decode_loop_traces_at_14b_dims(self):
+        """The full int8 decode program traces/eval_shapes at the real 14B
+        dims (no dim mismatch anywhere in prefill/decode/sampling)."""
+        import functools
+        from seed_tpu.ops.quantization import quantize_tree
+        cfg = M.SEED_LLAMA_14B
+        B, S = 8, 64
+        params_s = jax.eval_shape(
+            lambda k: quantize_tree(M.init_llama(k, cfg, jnp.bfloat16)),
+            jax.random.PRNGKey(0))
+        cache_s = jax.eval_shape(lambda: M.init_cache(cfg, B, S))
+        out = jax.eval_shape(
+            functools.partial(M.decode_loop, cfg=cfg, steps=4,
+                              temperature=1.0, top_p=0.5, eos_id=-1),
+            params_s, jax.ShapeDtypeStruct((B,), jnp.int32), cache_s,
+            jax.ShapeDtypeStruct((2,), jnp.uint32))
+        assert out[0].shape == (B, 4)

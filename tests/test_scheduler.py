@@ -214,3 +214,94 @@ class TestContinuousBatcher:
         # exact-length prompt: no strict prefix -> no hit
         assert cb._match_prefix([7, 3, 9, 1]) == (2, cb.prefixes[(7, 3)])
         assert cb._match_prefix([8, 8]) is None
+
+
+class TestChunkedScheduler:
+    """Multi-step scheduling (decode_chunk > 1): k fused decode+sample
+    steps per dispatch, host-side truncation at eos/budget. Must be
+    result-identical to single-step scheduling for greedy requests."""
+
+    def test_chunk_matches_single_step(self, params):
+        gen = GenerationConfig(max_new_tokens=5, do_sample=False,
+                               eos_token_id=-1)
+        short = GenerationConfig(max_new_tokens=2, do_sample=False,
+                                 eos_token_id=-1)
+        prompts = [[1, 5, 9], [2, 7], [3, 3, 3, 3], [11, 12], [4, 4, 4]]
+        gens = [gen, gen, short, gen, gen]   # mixed budgets shrink k_eff
+        ref = ContinuousBatcher(params, CFG, slots=2, max_len=64,
+                                cache_dtype=jnp.float32)
+        rids = [ref.submit(p, g) for p, g in zip(prompts, gens)]
+        want = ref.run()
+        cb = ContinuousBatcher(params, CFG, slots=2, max_len=64,
+                               cache_dtype=jnp.float32, decode_chunk=4)
+        rids2 = [cb.submit(p, g) for p, g in zip(prompts, gens)]
+        got = cb.run()
+        for a, b in zip(rids, rids2):
+            assert got[b] == want[a]
+
+    def test_eos_mid_chunk_discards_tail_and_readmits(self, params):
+        """A slot hitting eos mid-chunk: the chunk's tail tokens are
+        garbage (discarded host-side, overwritten in-cache by the next
+        admit's prefill) and the freed slot serves the next request
+        correctly."""
+        gen0 = GenerationConfig(max_new_tokens=6, do_sample=False,
+                                eos_token_id=-1)
+        eng = LlamaEngine(params, CFG, max_len=64, cache_dtype=jnp.float32)
+        full = eng.generate([[1, 5, 9]], gen0)[0]
+        eos = full[2]                      # greedy stream's 3rd token
+        gen = GenerationConfig(max_new_tokens=6, do_sample=False,
+                               eos_token_id=eos)
+        cb = ContinuousBatcher(params, CFG, slots=1, max_len=64,
+                               cache_dtype=jnp.float32, decode_chunk=4)
+        r1 = cb.submit([1, 5, 9], gen)
+        r2 = cb.submit([2, 7, 4], gen0)    # reuses the slot after r1's eos
+        out = cb.run()
+        assert out[r1] == full[:2]
+        assert out[r2] == eng.generate([[2, 7, 4]], gen0)[0]
+
+
+class TestScheduledEngine:
+    """Engine-facade over the batcher: same generate() surface the
+    serving stack uses (multimodal.py:214, server.py:143), drain thread,
+    concurrent callers batch onto shared decode dispatches."""
+
+    def test_matches_llama_engine_greedy(self, params):
+        from seed_tpu.serving.scheduler import ScheduledEngine
+        gen = GenerationConfig(max_new_tokens=5, do_sample=False,
+                               eos_token_id=-1)
+        eng = LlamaEngine(params, CFG, max_len=64, cache_dtype=jnp.float32)
+        se = ScheduledEngine(params, CFG, slots=2, max_len=64,
+                             cache_dtype=jnp.float32, decode_chunk=4)
+        try:
+            prompts = [[1, 5, 9], [2, 7, 4]]
+            got = se.generate(prompts, gen)
+            for p, toks in zip(prompts, got):
+                assert toks == eng.generate([p], gen)[0], p
+        finally:
+            se.close()
+
+    def test_concurrent_callers(self, params):
+        import threading
+        from seed_tpu.serving.scheduler import ScheduledEngine
+        gen = GenerationConfig(max_new_tokens=4, do_sample=False,
+                               eos_token_id=-1)
+        eng = LlamaEngine(params, CFG, max_len=64, cache_dtype=jnp.float32)
+        se = ScheduledEngine(params, CFG, slots=2, max_len=64,
+                             cache_dtype=jnp.float32, decode_chunk=2)
+        prompts = [[1, 5, 9], [2, 7], [3, 3, 3, 3], [11, 12]]
+        results = [None] * len(prompts)
+
+        def call(i):
+            results[i] = se.generate([prompts[i]], gen)[0]
+
+        try:
+            threads = [threading.Thread(target=call, args=(i,))
+                       for i in range(len(prompts))]
+            for t in threads:
+                t.start()
+            for t in threads:
+                t.join(timeout=300)
+            for p, toks in zip(prompts, results):
+                assert toks == eng.generate([p], gen)[0], p
+        finally:
+            se.close()
