@@ -144,11 +144,22 @@ def main():
     params = init_seed_tokenizer(jax.random.PRNGKey(0), cfg, dtype=jnp.bfloat16)
     params = jax.device_put(params)
 
+    # Exact path: op-faithful math (fp32 softmax/LN/VQ distances, erf
+    # GELU, no quantization) with attention in the Pallas kernel's
+    # op-faithful branch — measured CLOSER to the fp32 ground truth than
+    # the XLA scores-in-HBM path (0.9731 vs 0.9709 on the degenerate
+    # random-init codebook whose top-2 VQ margins are ~5e-6) and 1.25x
+    # faster (scripts/probe_exact_attn.py, PERF.md round 4). The fp32
+    # torch-parity oracle tests keep the plain XLA path.
+    import dataclasses
+    ecfg = dataclasses.replace(cfg, vit=dataclasses.replace(
+        cfg.vit, use_flash=True, flash_exact=True))
+
     @jax.jit
     def encode_u8(p, raw_u8):
-        imgs = preprocess(raw_u8, image_size=cfg.vit.image_size,
+        imgs = preprocess(raw_u8, image_size=ecfg.vit.image_size,
                           dtype=jnp.bfloat16)
-        return encode(p, imgs, cfg)
+        return encode(p, imgs, ecfg)
 
     def sweep(p, fn, batches):
         """Per-iteration host sync: every iteration transfers its (tiny)
@@ -194,12 +205,21 @@ def main():
 
     fast = sweep(qparams, encode_u8_fast, batches)
 
-    # token-id agreement of the fast path vs the exact path, same inputs
-    raw = jnp.asarray(np.random.RandomState(7).randint(
-        0, 256, size=(64, 224, 224, 3)).astype(np.uint8))
-    ids_exact = np.asarray(encode_u8(params, raw))
-    ids_fast = np.asarray(encode_u8_fast(qparams, raw))
-    agreement = float((ids_exact == ids_fast).mean())
+    # token-id agreement of the fast path vs the exact path, same inputs.
+    # Agreement is a per-batch random variable (flips sit on VQ near-ties
+    # of the random-init codebook — scripts/probe_exact_attn.py margin
+    # analysis), so average over 4 disjoint batches and carry the spread:
+    # single-batch sampling is what made r02's 0.9639 vs r03's 0.9497
+    # look like a drift.
+    per_batch = []
+    for seed in (7, 8, 9, 10):
+        raw = jnp.asarray(np.random.RandomState(seed).randint(
+            0, 256, size=(64, 224, 224, 3)).astype(np.uint8))
+        ids_exact = np.asarray(encode_u8(params, raw))
+        ids_fast = np.asarray(encode_u8_fast(qparams, raw))
+        per_batch.append(float((ids_exact == ids_fast).mean()))
+    agreement = float(np.mean(per_batch))
+    agreement_std = float(np.std(per_batch))
 
     best_exact = max(exact.values())
     best_fast = max(fast.values())
@@ -207,9 +227,14 @@ def main():
         "exact_img_s": {f"batch_{k}": round(v, 2) for k, v in exact.items()},
         "fast_img_s": {f"batch_{k}": round(v, 2) for k, v in fast.items()},
         "fast_agreement": round(agreement, 4),
+        "fast_agreement_std": round(agreement_std, 4),
         "exact_best": round(best_exact, 2),
-        "note": "exact path is bit-exact vs torch parity; fast path is "
-                "W8A8+flash+tanh with the stated token-id agreement",
+        "note": "exact path = op-faithful math (fp32 softmax/LN/VQ, erf "
+                "GELU) with the Pallas op-faithful attention branch, "
+                "measured closer to fp32 truth than the XLA path (0.9731 "
+                "vs 0.9709) and 1.25x faster; torch parity is test-anchored "
+                "on the XLA path in fp32. fast path is W8A8+flash+tanh "
+                "with the stated token-id agreement",
         "methodology": "per-iteration host sync since r03 (r02 synced only "
                        "the last of 5 iters, inflating r02 by ~10-15%); "
                        "decode: 3 warmup loop invocations then median of 3 "

@@ -60,13 +60,18 @@ def run(params, cfg, B, S, cache_dtype, steps=64, prompt_len=32):
         index=jnp.asarray(prompt_len, jnp.int32))
     tok = jnp.ones((B,), jnp.int32)
     key = jax.random.PRNGKey(0)
-    toks, _, cache, key = loop(params, tok, cache, key)
-    np.asarray(toks[:, -1])
-    tok = toks[:, -1]
-    t0 = time.perf_counter()
-    toks, _, cache, key = loop(params, tok, cache, key)
-    np.asarray(toks[:, -1])
-    dt = time.perf_counter() - t0
+    for _ in range(2):   # compile + cold-read warmup (PERF.md methodology)
+        toks, _, cache, key = loop(params, tok, cache, key)
+        np.asarray(toks[:, -1])
+        tok = toks[:, -1]
+    ts = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        toks, _, cache, key = loop(params, tok, cache, key)
+        np.asarray(toks[:, -1])
+        ts.append(time.perf_counter() - t0)
+        tok = toks[:, -1]
+    dt = sorted(ts)[1]
     return B * steps / dt, dt / steps * 1e3
 
 
@@ -80,18 +85,19 @@ SWEEP = [("bf16", 32, 192), ("bf16+w8a8", 32, 192), ("bf16", 64, 192),
          ("int8", 32, 192)]
 
 if __name__ == "__main__":
-    if len(sys.argv) == 4:      # one point, clean process
+    if len(sys.argv) >= 4:      # one point, clean process
         dt_name, B, S = sys.argv[1], int(sys.argv[2]), int(sys.argv[3])
+        model = sys.argv[4] if len(sys.argv) > 4 else "8b"
         import dataclasses
         from seed_tpu.models import llama as M
-        cfg = M.SEED_LLAMA_8B
+        cfg = {"8b": M.SEED_LLAMA_8B, "14b": M.SEED_LLAMA_14B}[model]
         cache_name = dt_name
         if dt_name.endswith("+w8a8"):
             cfg = dataclasses.replace(cfg, w8a8=True)
             cache_name = dt_name[:-len("+w8a8")]
         params = build_params(cfg)
         tps, ms = run(params, cfg, B, S, DTYPES[cache_name])
-        print(f"cache={dt_name} B={B} S={S}: {tps:7.1f} tok/s "
+        print(f"model={model} cache={dt_name} B={B} S={S}: {tps:7.1f} tok/s "
               f"({ms:.1f} ms/step)", flush=True)
     else:                       # orchestrate: one subprocess per point
         import jax as _j
@@ -101,7 +107,7 @@ if __name__ == "__main__":
                 [sys.executable, os.path.abspath(__file__), dt_name,
                  str(B), str(S)], capture_output=True, text=True,
                 timeout=3600)
-            line = [l for l in r.stdout.splitlines() if l.startswith("cache")]
+            line = [l for l in r.stdout.splitlines() if l.startswith("model")]
             print(line[0] if line else
                   f"cache={dt_name} B={B} S={S}: failed "
                   f"{r.stderr.strip().splitlines()[-1][:200] if r.stderr.strip() else '?'}",

@@ -1,5 +1,5 @@
 #!/usr/bin/env python
-"""Full-geometry AOT compile check: the REAL 8B training step at
+"""Full-geometry AOT compile check: the REAL 8B/14B training step at
 tp=2 x fsdp=4 on an 8-virtual-device mesh, compile-only (no buffers are
 ever allocated — jit(...).lower(abstract shapes).compile() runs the SPMD
 partitioner and buffer assignment exactly as a real 8-chip run would).
@@ -20,15 +20,21 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+_N_DEV = "16" if "--devices=16" in sys.argv else \
+         "32" if "--devices=32" in sys.argv else "8"
 os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
-                           + " --xla_force_host_platform_device_count=8")
+                           + f" --xla_force_host_platform_device_count={_N_DEV}")
 
 
 def main():
     ap = argparse.ArgumentParser()
+    ap.add_argument("--model", choices=["8b", "14b"], default="8b")
     ap.add_argument("--full", action="store_true",
                     help="full finetune (no LoRA) — the heavier state")
     ap.add_argument("--tp", type=int, default=2)
+    ap.add_argument("--devices", type=int, default=8, choices=(8, 16, 32),
+                    help="virtual device count (pass as --devices=N); fsdp "
+                         "gets devices/tp")
     ap.add_argument("--batch", type=int, default=8, help="global batch")
     ap.add_argument("--seq", type=int, default=1024)
     args = ap.parse_args()
@@ -46,7 +52,7 @@ def main():
                                 cross_entropy, init_lora)
     from seed_tpu.train.trainer import TrainState, make_train_step
 
-    cfg = M.SEED_LLAMA_8B
+    cfg = {"8b": M.SEED_LLAMA_8B, "14b": M.SEED_LLAMA_14B}[args.model]
     mesh = auto_mesh(tp=args.tp)
     print(f"mesh: {dict(zip(mesh.axis_names, mesh.devices.shape))}", flush=True)
 
