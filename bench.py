@@ -253,6 +253,10 @@ def main():
                                     "diffusion_s": 71.4, "note":
                 "warm-phase compute, one-chip host-offload, r03, "
                 "scripts/demo_8b_offload.py (swaps tunnel-bound: PERF.md)"},
+            "served_tok_s": {"value": 318.7, "req_per_min": 310.9, "note":
+                "8B int8 continuous batcher, slots=16 decode_chunk=16, 64 "
+                "mixed-length requests (sampling t=1.0 top_p=0.5), r04, "
+                "scripts/bench_serving.py; full sweep in PERF.md"},
         },
     }
     if decode_tps is not None:
