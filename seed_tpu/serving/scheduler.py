@@ -81,6 +81,12 @@ class ContinuousBatcher:
         self.key = jax.random.PRNGKey(seed)
         self.queue: collections.deque = collections.deque()
         self.active: List[Optional[Request]] = [None] * slots
+        # which registered prefix a slot's cache positions [0, len) hold.
+        # Decode and start>0 prefills never touch [0, len), so a slot
+        # re-admitted with the SAME prefix skips the install dispatch —
+        # through a remote PJRT link one dispatch (~36 ms) outweighs the
+        # whole prefill of a short system prompt (PERF.md round 4).
+        self.slot_prefix: List[Optional[tuple]] = [None] * slots
         self.next_tok = np.zeros(slots, np.int32)
         self._id_counter = itertools.count()
         self.finished: Dict[int, Request] = {}
@@ -195,10 +201,16 @@ class ContinuousBatcher:
             hit = self._match_prefix(req.prompt)
             if hit is not None:
                 start, pkv = hit
-                self.cache = self._install(
-                    pkv, jnp.asarray(slot, jnp.int32), self.cache)
+                pref = tuple(req.prompt[:start])
+                if self.slot_prefix[slot] != pref:
+                    self.cache = self._install(
+                        pkv, jnp.asarray(slot, jnp.int32), self.cache)
+                    self.slot_prefix[slot] = pref
             else:
                 start = 0
+                # a from-0 prefill overwrites [0, plen): the slot no
+                # longer holds any registered prefix
+                self.slot_prefix[slot] = None
             logits, self.cache = self._chunked_prefill(
                 req.prompt, slot, start, self.cache)
             tok = self._pick(logits, req, first=True)

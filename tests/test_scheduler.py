@@ -144,6 +144,43 @@ class TestContinuousBatcher:
         for rp, rc, prompt in zip(rids_p, rids_c, prompts):
             assert want[rp] == got[rc], prompt
 
+    def test_prefix_install_skipped_on_slot_reuse(self, params):
+        """A slot re-admitted with the same shared prefix must NOT pay the
+        install dispatch again (decode and start>0 prefills never touch
+        cache positions [0, len(prefix))), and a from-0 prefill must
+        invalidate the slot so a later hit re-installs. Tokens stay equal
+        to the uncached path throughout."""
+        gen = GenerationConfig(max_new_tokens=4, do_sample=False,
+                               eos_token_id=-1)
+        system = [7, 3, 9, 1]
+        hits = [system + [5, 2], system + [8], system + [2, 2],
+                system + [6], system + [1, 5, 3]]
+        miss = [4, 4, 2]
+
+        plain = ContinuousBatcher(params, CFG, slots=2, max_len=64,
+                                  cache_dtype=jnp.float32)
+        rids_p = [plain.submit(p, gen) for p in hits + [miss] + hits]
+        want = plain.run()
+
+        cached = ContinuousBatcher(params, CFG, slots=2, max_len=64,
+                                   cache_dtype=jnp.float32)
+        cached.register_prefix(system)
+        installs = []
+        real_install = cached._install
+        cached._install = lambda *a: (installs.append(1), real_install(*a))[1]
+
+        rids_c = [cached.submit(p, gen) for p in hits]
+        got = cached.run()
+        assert len(installs) == 2           # once per slot, then reused
+        rid_m = cached.submit(miss, gen)    # from-0 prefill invalidates
+        got[rid_m] = cached.run()[rid_m]
+        rids_c2 = [cached.submit(p, gen) for p in hits]
+        got.update(cached.run())
+        # exactly one re-install: the slot the miss clobbered
+        assert len(installs) == 3
+        for rp, rc in zip(rids_p, rids_c + [rid_m] + rids_c2):
+            assert want[rp] == got[rc]
+
     def test_long_prompt_chunked_prefill(self, params):
         """Prompts longer than the largest bucket are prefilled in
         multiple chunks and match the solo engine exactly (the round-2
