@@ -14,11 +14,21 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 def run(cmd, timeout=420):
-    env = dict(os.environ)
-    env["JAX_PLATFORMS"] = "cpu"
-    # keep the axon site dir importable but force the cpu backend
-    return subprocess.run([sys.executable] + cmd, cwd=REPO, timeout=timeout,
-                          capture_output=True, text=True, env=env)
+    # The axon sitecustomize overrides JAX_PLATFORMS at interpreter
+    # startup, so the env var alone does NOT force CPU (verified: these
+    # smoke subprocesses were silently running on the real TPU through
+    # the tunnel). jax.config.update before first backend use wins —
+    # same mechanism as tests/conftest.py — so wrap the script in runpy.
+    shim = ("import os, sys; "
+            # conftest exports the 8-virtual-device XLA_FLAGS; these are
+            # single-device smoke tests (flags are read at backend init,
+            # so scrubbing here is early enough)
+            "os.environ.pop('XLA_FLAGS', None); "
+            "import jax; jax.config.update('jax_platforms', 'cpu'); "
+            "import runpy; sys.argv = sys.argv[1:]; "
+            "runpy.run_path(sys.argv[0], run_name='__main__')")
+    return subprocess.run([sys.executable, "-c", shim] + cmd, cwd=REPO,
+                          timeout=timeout, capture_output=True, text=True)
 
 
 def write_pkl_tar(path, n=32, with_qa=False):
