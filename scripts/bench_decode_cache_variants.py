@@ -55,13 +55,23 @@ def run(params, cfg, B, S, cache_dtype, steps=64, prompt_len=32):
         index=jnp.asarray(prompt_len, jnp.int32))
     tok = jnp.ones((B,), jnp.int32)
     key = jax.random.PRNGKey(0)
-    toks, _, cache, key = loop(params, tok, cache, key)  # compile+warmup
-    np.asarray(toks[:, -1])
-    tok = toks[:, -1]
-    t0 = time.perf_counter()
-    toks, _, cache, key = loop(params, tok, cache, key)
-    np.asarray(toks[:, -1])
-    dt = time.perf_counter() - t0
+    # >=3 warmup invocations then median of 3: one warmup is NOT enough
+    # through the axon tunnel — the first invocations of a
+    # freshly-compiled program read 5-10x slow (the r03 bench
+    # under-reported decode 10x this way, and an r04 probe misread a
+    # 10x "batch cliff" that was entirely this artifact)
+    for _ in range(3):
+        toks, _, cache, key = loop(params, tok, cache, key)
+        np.asarray(toks[:, -1])
+        tok = toks[:, -1]
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        toks, _, cache, key = loop(params, tok, cache, key)
+        np.asarray(toks[:, -1])
+        times.append(time.perf_counter() - t0)
+        tok = toks[:, -1]
+    dt = sorted(times)[1]
     del cache
     return B * steps / dt, dt / steps * 1e3
 
