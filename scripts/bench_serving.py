@@ -1,12 +1,20 @@
 #!/usr/bin/env python
-"""Served throughput of the continuous-batching scheduler on the chip.
+"""Served throughput + per-request latency of the continuous-batching
+scheduler on the chip.
 
-VERDICT r03 next #2: the scheduler + prefix cache (serving/scheduler.py)
-is the repo's flagship beyond-parity serving feature vs the reference's
-one-request-at-a-time HF generate loop
-(/root/reference/gradio_demo/seed_llama_flask.py:172) — this gives it an
-on-chip number: 8B int8 weights, mixed prompt lengths and generation
-budgets, slots/chunk sweep, prefix cache on/off.
+The scheduler (serving/scheduler.py) is the repo's flagship
+beyond-parity serving feature vs the reference's one-request-at-a-time
+HF generate loop (/root/reference/gradio_demo/seed_llama_flask.py:172).
+This gives it on-chip numbers: 8B int8 weights, mixed prompt lengths and
+generation budgets, slots/chunk sweep, prefix cache off/on/on512.
+
+Reported per point (VERDICT r04 next #2 — a throughput-only claim with a
+deliberate tail-latency trade is half a measurement):
+- served_tok_s / req_per_min (aggregate throughput)
+- ttft_ms p50/p95: submit -> first token (queue wait + prefill)
+- e2e_ms p50/p95: submit -> last token delivered (chunked decode holds
+  finished slots up to chunk-1 extra steps and admits only between
+  chunks — the latency cost of the 1.7x chunking throughput lever)
 
 Methodology: one subprocess per point (allocator artifact, see
 bench_decode_int8cache.py); a warmup workload first exercises every
@@ -16,7 +24,8 @@ Every decode step already lands one [slots] host transfer, so the wall
 clock is honestly synced by construction.
 
     python scripts/bench_serving.py                 # orchestrate sweep
-    python scripts/bench_serving.py 16 8 off        # slots chunk prefix
+    python scripts/bench_serving.py 16 16 off       # slots chunk prefix
+    python scripts/bench_serving.py 16 16 on512     # 512-tok system prompt
 """
 import json
 import os
@@ -35,10 +44,7 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 import jax.numpy as jnp
 import numpy as np
 
-MAX_LEN = 320
-BUCKETS = (32, 64, 128, 256)
 N_REQUESTS = 64
-PREFIX_LEN = 48          # shared system prompt (prefix-cache target)
 
 
 def build_params(cfg):
@@ -84,33 +90,45 @@ def make_workload(n, rng, prefix):
     return reqs
 
 
-def run_point(slots, chunk, prefix_on):
+def _pct(xs, q):
+    return float(np.percentile(np.asarray(xs), q))
+
+
+def run_point(slots, chunk, prefix_mode):
     from seed_tpu.models import llama as M
     from seed_tpu.serving import GenerationConfig
     from seed_tpu.serving.scheduler import ContinuousBatcher
     cfg = M.SEED_LLAMA_8B
+    prefix_len = {"off": 48, "on": 48, "off512": 512, "on512": 512}[prefix_mode]
+    max_len = 320 if prefix_len <= 48 else 832
+    buckets = (32, 64, 128, 256) if prefix_len <= 48 \
+        else (32, 64, 128, 256, 512)
     params = build_params(cfg)
-    cb = ContinuousBatcher(params, cfg, slots=slots, max_len=MAX_LEN,
-                           prompt_buckets=BUCKETS, decode_chunk=chunk)
+    cb = ContinuousBatcher(params, cfg, slots=slots, max_len=max_len,
+                           prompt_buckets=buckets, decode_chunk=chunk)
     rng = np.random.RandomState(7)
-    prefix = list(np.random.RandomState(3).randint(5, 32000, PREFIX_LEN))
-    if prefix_on:
+    prefix = list(np.random.RandomState(3).randint(5, 32000, prefix_len))
+    if not prefix_mode.startswith("off"):
         cb.register_prefix(prefix)
 
     # warmup: one request per bucket boundary + chunk tail sizes, compiles
-    # every program the timed run needs (prefill per bucket, prefill_at
-    # when the prefix path is on, decode chunks at every pow2 <= chunk)
+    # every program the timed run needs (prefill per bucket, the fused
+    # install+prefill when the prefix path is on, decode chunks at every
+    # pow2 <= chunk)
     warm_gen = GenerationConfig(max_new_tokens=max(2 * chunk - 1, 3),
                                 temperature=1.0, top_p=0.5,
                                 do_sample=True, eos_token_id=-1)
-    for b in BUCKETS:
-        if b >= MAX_LEN:
+    for b in buckets:
+        if b >= max_len:
             continue
-        plen = min(b, MAX_LEN - warm_gen.max_new_tokens - 2)
-        cb.submit(prefix + list(rng.randint(5, 32000, max(plen - PREFIX_LEN, 1))),
+        plen = min(b, max_len - warm_gen.max_new_tokens - 2)
+        cb.submit(prefix + list(rng.randint(5, 32000,
+                                            max(plen - prefix_len, 1))),
                   warm_gen)
     cb.run()
     cb.finished.clear()
+    for s in range(cb.slots):       # warm slots hold the prefix: reset so
+        cb.slot_prefix[s] = None    # the timed run pays real installs
 
     reqs = make_workload(N_REQUESTS, np.random.RandomState(0), prefix)
     rids = [cb.submit(p, g) for p, g in reqs]
@@ -120,36 +138,48 @@ def run_point(slots, chunk, prefix_on):
         cb.step()
         steps += 1
     wall = time.perf_counter() - t0
-    out = {rid: cb.finished[rid].tokens for rid in rids}
-    gen_tok = sum(len(t) for t in out.values())
+    fin = [cb.finished[rid] for rid in rids]
+    gen_tok = sum(len(r.tokens) for r in fin)
     prompt_tok = sum(len(p) for p, _ in reqs)
+    ttft = [(r.t_first - r.t_submit) * 1e3 for r in fin]
+    e2e = [(r.t_done - r.t_submit) * 1e3 for r in fin]
     return {
-        "slots": slots, "chunk": chunk, "prefix": prefix_on,
+        "slots": slots, "chunk": chunk, "prefix": prefix_mode,
         "requests": N_REQUESTS, "wall_s": round(wall, 2),
         "gen_tok": gen_tok, "prompt_tok": prompt_tok,
         "served_tok_s": round(gen_tok / wall, 1),
         "req_per_min": round(N_REQUESTS / wall * 60, 1),
+        "ttft_ms_p50": round(_pct(ttft, 50), 1),
+        "ttft_ms_p95": round(_pct(ttft, 95), 1),
+        "e2e_ms_p50": round(_pct(e2e, 50), 1),
+        "e2e_ms_p95": round(_pct(e2e, 95), 1),
         "dispatch_loops": steps,
     }
 
 
-SWEEP = [(8, 1, False), (16, 1, False), (16, 8, False), (16, 16, False),
-         (32, 16, False), (16, 16, True)]
+SWEEP = [(8, 16, "off"), (16, 1, "off"), (16, 8, "off"), (16, 16, "off"),
+         (32, 16, "off"), (64, 16, "off"),
+         (16, 16, "on"), (16, 16, "off512"), (16, 16, "on512"),
+         (16, 16, "off")]
 
 if __name__ == "__main__":
     if len(sys.argv) == 4:
         slots, chunk = int(sys.argv[1]), int(sys.argv[2])
-        prefix_on = sys.argv[3] == "on"
-        print("serve " + json.dumps(run_point(slots, chunk, prefix_on)),
+        print("serve " + json.dumps(run_point(slots, chunk, sys.argv[3])),
               flush=True)
     else:
-        for slots, chunk, prefix_on in SWEEP:
+        points = SWEEP
+        if len(sys.argv) == 2 and sys.argv[1] != "all":
+            points = [tuple(p.split(":")) for p in sys.argv[1].split(",")]
+            points = [(int(a), int(b), c) for a, b, c in points]
+        for slots, chunk, prefix_mode in points:
             r = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), str(slots),
-                 str(chunk), "on" if prefix_on else "off"],
+                 str(chunk), prefix_mode],
                 capture_output=True, text=True, timeout=5400)
             line = [l for l in r.stdout.splitlines() if l.startswith("serve")]
             print(line[0] if line else
-                  f"serve slots={slots} chunk={chunk} FAILED "
+                  f"serve slots={slots} chunk={chunk} prefix={prefix_mode} "
+                  f"FAILED "
                   f"{r.stderr.strip().splitlines()[-1][:300] if r.stderr.strip() else '?'}",
                   flush=True)

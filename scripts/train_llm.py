@@ -22,7 +22,8 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--data", required=True)
     ap.add_argument("--mode", choices=["pretrain", "sft"], default="pretrain")
-    ap.add_argument("--model", choices=["8b", "14b", "tiny"], default="tiny")
+    ap.add_argument("--model", choices=["8b", "14b", "small", "tiny"],
+                    default="tiny")
     ap.add_argument("--llm-ckpt", default=None)
     ap.add_argument("--steps", type=int, default=30000)
     ap.add_argument("--batch-size", type=int, default=8, help="global batch")
@@ -87,7 +88,7 @@ def main():
     from seed_tpu.utils.checkpoint import CheckpointManager, restore_checkpoint
 
     cfg = {"8b": M.SEED_LLAMA_8B, "14b": M.SEED_LLAMA_14B,
-           "tiny": M.TINY_LLAMA}[args.model]
+           "small": M.SMALL_LLAMA, "tiny": M.TINY_LLAMA}[args.model]
     key = jax.random.PRNGKey(args.seed)
     base = (restore_checkpoint(args.llm_ckpt) if args.llm_ckpt
             else M.init_llama(key, cfg, jnp.bfloat16))

@@ -30,6 +30,14 @@ def main():
     ap.add_argument("--max-text-len", type=int, default=32)
     ap.add_argument("--lr", type=float, default=None)
     ap.add_argument("--warmup", type=int, default=5000)
+    ap.add_argument("--lr-sched", choices=["cosine", "step"],
+                    default="cosine",
+                    help="LAVIS linear_warmup_cosine_lr (default) or "
+                         "linear_warmup_step_lr (optims.py:13-52)")
+    ap.add_argument("--lr-decay-rate", type=float, default=0.9,
+                    help="per-epoch decay for --lr-sched step")
+    ap.add_argument("--steps-per-epoch", type=int, default=10000,
+                    help="epoch length driving the step schedule")
     ap.add_argument("--output", required=True)
     ap.add_argument("--save-steps", type=int, default=5000)
     ap.add_argument("--seed", type=int, default=42)
@@ -65,12 +73,14 @@ def main():
     import numpy as np
 
     from seed_tpu.data import (Prefetcher, batched, decode_image_text,
+                               decode_image_text_lazy, resize_draft,
                                shuffle_buffer, tar_source)
     from seed_tpu.models import SEED_TOKENIZER, init_seed_tokenizer
     from seed_tpu.ops.preprocess import preprocess
     from seed_tpu.parallel import auto_mesh
     from seed_tpu.serving import ByteTextTokenizer
-    from seed_tpu.train import Trainer, adamw, warmup_cosine
+    from seed_tpu.train import (Trainer, adamw, warmup_cosine,
+                            warmup_step_decay)
     from seed_tpu.train.optim import masked_trainable
     from seed_tpu.train.tokenizer_training import (
         STAGE1_TRAINABLE, STAGE2_TRAINABLE, Stage1Config, Stage2Config,
@@ -153,16 +163,24 @@ def main():
 
     # freeze mask: frozen towers get exactly zero updates (stop_gradient
     # zeroes their grads but AdamW weight decay would still shrink them)
+    if args.lr_sched == "step":
+        sched = warmup_step_decay(lr, args.warmup, args.steps_per_epoch,
+                                  decay_rate=args.lr_decay_rate)
+    else:
+        sched = warmup_cosine(lr, args.warmup, args.steps)
     opt = masked_trainable(
-        adamw(warmup_cosine(lr, args.warmup, args.steps),
+        adamw(sched,
               b1=0.9, b2=0.999, eps=1e-8, weight_decay=0.05, params=params),
         params, trainable_pat)
     trainer = Trainer(loss_fn, params, opt, mesh)
 
     def example_stream():
-        for s in tar_source(args.data, decode=decode_image_text,
+        for s in tar_source(args.data, decode=decode_image_text_lazy,
                             cycle_count=None, seed=args.seed):
-            img = s["image"].resize((args.image_size, args.image_size))
+            try:
+                img = resize_draft(s["image"], args.image_size)
+            except Exception:      # corrupt payload past the header: skip
+                continue
             ex = {"pixels": np.asarray(img, np.uint8),
                   "text": s.get("text", ""),
                   "clip_embed": s.get("clip_embed")}
@@ -216,7 +234,7 @@ def main():
         def ex_stream():
             for s in tar_source(args.eval_data, decode=decode_image_text,
                                 cycle_count=1, seed=args.seed):
-                img = s["image"].resize((args.image_size, args.image_size))
+                img = resize_draft(s["image"], args.image_size)
                 yield {"pixels": np.asarray(img, np.uint8),
                        "text": s.get("text", ""),
                        "clip_embed": s.get("clip_embed")}

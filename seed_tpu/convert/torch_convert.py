@@ -264,7 +264,9 @@ def convert_inception_torch(sd: Dict[str, np.ndarray],
         scale = gamma / sqrt(running_var + eps)
         bias  = beta - running_mean * scale
     and the conv weight goes [out, in, kh, kw] -> [kh, kw, in, out].
-    Classifier / aux-classifier keys are ignored (pool3 features only).
+    The fc classifier head is converted when present (Inception Score
+    runs the full net, inception_score.py:35); aux-classifier keys are
+    ignored (eval-mode torchvision never runs them).
     """
     from ..eval.inception import BN_EPS, INCEPTION_CONVS
     params = {}
@@ -281,4 +283,12 @@ def convert_inception_torch(sd: Dict[str, np.ndarray],
             "scale": scale.astype(dtype),
             "bias": (beta - mean * scale).astype(dtype),
         }
+    if "fc.weight" in sd:
+        # 1000-way classifier head — the Inception-Score feature path
+        # (inception_score.py:35-43 uses the full torchvision net);
+        # torch [out, in] -> [in, out]
+        w = np.asarray(sd["fc.weight"])
+        assert w.shape == (1000, 2048), w.shape
+        params["fc"] = {"kernel": w.T.astype(dtype),
+                        "bias": np.asarray(sd["fc.bias"]).astype(dtype)}
     return params

@@ -105,6 +105,47 @@ def decode_pkl_records(sample: Dict[str, bytes]) -> Optional[Dict[str, Any]]:
         return None
 
 
+def decode_image_text_lazy(sample: Dict[str, bytes]) -> Optional[Dict[str, Any]]:
+    """Like :func:`decode_image_text` but the PIL image stays LAZY (no
+    convert, no pixel decode): the consumer's :func:`resize_draft` can
+    then set the JPEG draft scale BEFORE the only decode happens — the
+    eager path's convert("RGB") forces a full-resolution decode that
+    makes a later draft() a no-op. Corrupt payloads past the header
+    surface at resize time — wrap the consumer's resize in try/except
+    (train_tokenizer.py does)."""
+    img_ext = next((e for e in ("jpg", "jpeg", "png", "webp") if e in sample),
+                   None)
+    if img_ext is None:
+        return None
+    try:
+        from PIL import Image
+        img = Image.open(io.BytesIO(sample[img_ext]))
+    except Exception as e:
+        log.warning("bad image %s: %s", sample.get("__key__"), e)
+        return None
+    out = {"__key__": sample.get("__key__"), "image": img}
+    if "txt" in sample:
+        out["text"] = sample["txt"].decode("utf-8", errors="replace")
+    if "json" in sample:
+        try:
+            out["meta"] = json.loads(sample["json"])
+        except Exception:
+            pass
+    return out
+
+
+def resize_draft(img, size: int):
+    """Training-path resize with JPEG draft decode: libjpeg decodes at
+    the smallest DCT scale >= target (up to 8x fewer IDCT coefficients),
+    then one SIMD resize — measured 2.3x the plain decode+resize rate on
+    512px web JPEGs on this 1-core host (PERF.md round 5). The pixels
+    differ from a full-resolution decode at the last bit, so this is for
+    TRAINING streams only; inference token parity keeps the bit-exact
+    path (ops/preprocess)."""
+    img.draft("RGB", (size, size))   # no-op for non-JPEG / already-loaded
+    return img.convert("RGB").resize((size, size))
+
+
 def decode_image_text(sample: Dict[str, bytes]) -> Optional[Dict[str, Any]]:
     """Raw webdataset sample: jpg + txt (+ json) -> dict with PIL image."""
     img_ext = next((e for e in ("jpg", "jpeg", "png", "webp") if e in sample),
@@ -273,6 +314,52 @@ def quality_filter(sample: Dict[str, Any],
 
 
 # ------------------------------ tar source ---------------------------------
+
+def lmdb_ids_source(meta_path: str, lmdb_dir: str,
+                    get_fn: Optional[Callable[[str], Optional[bytes]]] = None,
+                    host_index: Optional[int] = None,
+                    host_count: Optional[int] = None) -> Iterator[Dict]:
+    """CC3M-style LMDB reader (MultiModalLLM/src/data/cc3m.py:15-47): a
+    TSV meta file of ``caption<TAB>img_name`` rows plus an LMDB store
+    mapping img_name -> pickled precomputed SEED image-token ids. Yields
+    ``{"caption", "image_ids"}`` records for
+    :func:`seed_tpu.data.builders.build_caption_example` (the reference
+    dataset inlines the same BOI/ids/EOI + reverse_ratio assembly its
+    torchdata pipes use — here one builder serves both sources).
+
+    Rows whose key is missing from the store are skipped (the reference
+    collates them out, cc3m.py:78-80). ``get_fn`` overrides the LMDB
+    lookup (tests / alternative stores); without it the ``lmdb`` package
+    is required. Rows are sharded per host like every other source."""
+    if get_fn is None:
+        try:
+            import lmdb
+        except ImportError as e:          # pragma: no cover
+            raise ImportError(
+                "lmdb_ids_source needs the 'lmdb' package (or pass "
+                "get_fn=) — not bundled in this environment") from e
+        env = lmdb.open(lmdb_dir, readonly=True, max_readers=1024,
+                        create=False, lock=False)
+        txn = env.begin(buffers=False)
+        get_fn = lambda k: txn.get(k.encode("utf-8"))
+    if host_index is None:
+        import jax
+        host_index, host_count = jax.process_index(), jax.process_count()
+    hi, hc = host_index, host_count or 1
+    with open(meta_path) as f:
+        for lineno, line in enumerate(f):
+            if lineno % hc != hi:
+                continue
+            parts = line.rstrip("\n").split("\t")
+            if len(parts) < 2:
+                continue
+            caption, img_name = parts[0], parts[1]
+            raw = get_fn(img_name)
+            if raw is None:
+                continue
+            yield {"caption": caption,
+                   "image_ids": list(pickle.loads(raw))}
+
 
 def tar_source(pattern: str, decode: Callable = decode_pkl_records,
                cycle_count: Optional[int] = 1, seed: int = 0,

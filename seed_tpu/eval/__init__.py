@@ -4,12 +4,14 @@ from .eval_readers import (CAPTION_PROMPT, VQA_PROMPT_SUFFIX,
                            evaluate_vqa, iter_json_records,
                            load_video_frames, sample_frames,
                            video_eval_stream, vqa_eval_stream)
-from .inception import (INCEPTION_CONVS, inception_pool3, init_inception,
+from .inception import (INCEPTION_CONVS, inception_logits, inception_pool3,
+                        inception_probs, init_inception,
                         resize_bilinear_align_corners)
 from .metrics import (bleu, caption_metrics, cider_d, fid, frechet_distance,
                       gaussian_stats, inception_score, vqa_accuracy)
 
-__all__ = ["INCEPTION_CONVS", "inception_pool3", "init_inception",
+__all__ = ["INCEPTION_CONVS", "inception_logits", "inception_pool3",
+           "inception_probs", "init_inception",
            "resize_bilinear_align_corners",
            "bleu", "caption_metrics", "cider_d", "fid", "frechet_distance",
            "gaussian_stats", "inception_score", "vqa_accuracy",

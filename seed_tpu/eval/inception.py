@@ -103,11 +103,12 @@ IMAGENET_MEAN = (0.485, 0.456, 0.406)
 IMAGENET_STD = (0.229, 0.224, 0.225)
 
 
-def init_inception(key, dtype=jnp.float32):
+def init_inception(key, dtype=jnp.float32, with_fc: bool = False):
     """Random-init parameter tree (shape source of truth; real use loads
-    converted torchvision weights — convert_inception_torch)."""
+    converted torchvision weights — convert_inception_torch).
+    ``with_fc`` adds the 1000-way classifier head (Inception Score)."""
     params = {}
-    keys = jax.random.split(key, len(INCEPTION_CONVS))
+    keys = jax.random.split(key, len(INCEPTION_CONVS) + 1)
     for (name, (cin, cout, k, _, _)), kk in zip(INCEPTION_CONVS.items(),
                                                 keys):
         fan_in = cin * k[0] * k[1]
@@ -116,6 +117,12 @@ def init_inception(key, dtype=jnp.float32):
                        * (2.0 / fan_in) ** 0.5).astype(dtype),
             "scale": jnp.ones((cout,), dtype),
             "bias": jnp.zeros((cout,), dtype),
+        }
+    if with_fc:
+        params["fc"] = {
+            "kernel": (jax.random.normal(keys[-1], (2048, 1000))
+                       * 2048 ** -0.5).astype(dtype),
+            "bias": jnp.zeros((1000,), dtype),
         }
     return params
 
@@ -223,22 +230,8 @@ def resize_bilinear_align_corners(x: jnp.ndarray,
     return jnp.einsum("bhwc,ow->bhoc", y, kh)
 
 
-def inception_pool3(params, images01: jnp.ndarray,
-                    resize_input: bool = True,
-                    normalize_input: bool = True) -> jnp.ndarray:
-    """[B, H, W, 3] images in [0, 1] (NHWC) -> [B, 2048] pool3 features.
-
-    Mirrors InceptionV3.forward (inception.py:93-124) with
-    output_blocks=[3]: optional align-corners bilinear resize to 299, the
-    exact channel remap, blocks 0-3, global average pool."""
-    x = images01
-    if resize_input:
-        x = resize_bilinear_align_corners(x, (299, 299))
-    x = x.astype(jnp.float32)
-    if normalize_input:
-        std = jnp.asarray(IMAGENET_STD, jnp.float32) / 0.5
-        mean = (jnp.asarray(IMAGENET_MEAN, jnp.float32) - 0.5) / 0.5
-        x = x * std + mean
+def _trunk(params, x: jnp.ndarray) -> jnp.ndarray:
+    """Blocks 0-3 + global average pool: [B, H, W, 3] -> [B, 2048]."""
     # block 0
     for name in ("Conv2d_1a_3x3", "Conv2d_2a_3x3", "Conv2d_2b_3x3"):
         x = _conv(params, x, name)
@@ -257,3 +250,54 @@ def inception_pool3(params, images01: jnp.ndarray,
     x = _mixed_e(params, x, "Mixed_7b")
     x = _mixed_e(params, x, "Mixed_7c")
     return jnp.mean(x, axis=(1, 2))          # AdaptiveAvgPool2d((1, 1))
+
+
+def inception_pool3(params, images01: jnp.ndarray,
+                    resize_input: bool = True,
+                    normalize_input: bool = True) -> jnp.ndarray:
+    """[B, H, W, 3] images in [0, 1] (NHWC) -> [B, 2048] pool3 features.
+
+    Mirrors InceptionV3.forward (inception.py:93-124) with
+    output_blocks=[3]: optional align-corners bilinear resize to 299, the
+    exact channel remap, blocks 0-3, global average pool."""
+    x = images01
+    if resize_input:
+        x = resize_bilinear_align_corners(x, (299, 299))
+    x = x.astype(jnp.float32)
+    if normalize_input:
+        std = jnp.asarray(IMAGENET_STD, jnp.float32) / 0.5
+        mean = (jnp.asarray(IMAGENET_MEAN, jnp.float32) - 0.5) / 0.5
+        x = x * std + mean
+    return _trunk(params, x)
+
+
+def inception_logits(params, images_pm1: jnp.ndarray,
+                     resize_input: bool = True) -> jnp.ndarray:
+    """[B, H, W, 3] images in [-1, 1] (NHWC) -> [B, 1000] classifier
+    logits.
+
+    Mirrors the reference Inception-Score feature path
+    (MultiModalLLM/src/eval/inception_score.py:35-43): torchvision
+    ``inception_v3(transform_input=False).eval()`` fed raw [-1, 1]
+    pixels, with the optional ``nn.Upsample(299, 'bilinear')`` resize
+    (align_corners=False — half-pixel centers, i.e. jax.image.resize
+    semantics), then trunk -> global avg pool -> (eval-mode dropout =
+    identity) -> fc. Requires ``params["fc"]``
+    (init_inception(with_fc=True) / converted torchvision fc)."""
+    x = images_pm1.astype(jnp.float32)
+    if resize_input:
+        B, _, _, C = x.shape
+        x = jax.image.resize(x, (B, 299, 299, C), "bilinear")
+    pool = _trunk(params, x)
+    fc = params["fc"]
+    return pool @ fc["kernel"].astype(pool.dtype) + fc["bias"].astype(
+        pool.dtype)
+
+
+def inception_probs(params, images_pm1: jnp.ndarray,
+                    resize_input: bool = True) -> jnp.ndarray:
+    """Class probabilities for :func:`seed_tpu.eval.metrics.
+    inception_score` (the reference softmaxes the logits,
+    inception_score.py:43)."""
+    return jax.nn.softmax(inception_logits(params, images_pm1,
+                                           resize_input), axis=-1)

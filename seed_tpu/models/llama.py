@@ -77,6 +77,11 @@ SEED_LLAMA_14B = LlamaConfig(dim=5120, layers=40, heads=40, kv_heads=40,
                              ffn_dim=13824, rms_eps=1e-5)
 TINY_LLAMA = LlamaConfig(vocab_size=270, dim=64, layers=2, heads=4,
                          kv_heads=2, ffn_dim=128, max_seq_len=128)
+# ~0.4B "real-shape" config: full SEED vocabulary + the 8B layer anatomy
+# at reduced width/depth — single-chip convergence smokes through the
+# REAL data path (scripts/train_llm.py --model small)
+SMALL_LLAMA = LlamaConfig(vocab_size=40194, dim=1024, layers=8, heads=8,
+                          kv_heads=8, ffn_dim=2816, max_seq_len=1024)
 
 
 class KVCache(NamedTuple):
@@ -232,6 +237,35 @@ def _lin(p, x, cfg: LlamaConfig):
     return L.linear(p, x)
 
 
+def _attn_qkv(p, x, positions, cfg: LlamaConfig):
+    """Shared front half of EVERY decoder-layer variant (batch forward,
+    ring-cache prefill, all slot paths): pre-LN + q/k/v projections +
+    RoPE. One body — cache-write/attention strategy is what varies per
+    path, not this. w8a8-aware via :func:`_lin`."""
+    B, N, _ = x.shape
+    hd = cfg.head_dim
+    h = L.rms_norm(p["input_layernorm"], x, cfg.rms_eps)
+    q = _lin(p["q_proj"], h, cfg).reshape(B, N, cfg.heads, hd)
+    k = _lin(p["k_proj"], h, cfg).reshape(B, N, cfg.kv_heads, hd)
+    v = _lin(p["v_proj"], h, cfg).reshape(B, N, cfg.kv_heads, hd)
+    q = rope(q, positions, cfg.rope_theta, cfg.rope_scaling,
+             cfg.rope_scaling_factor)
+    k = rope(k, positions, cfg.rope_theta, cfg.rope_scaling,
+             cfg.rope_scaling_factor)
+    return q, k, v
+
+
+def _attn_out_mlp(p, x, o, cfg: LlamaConfig):
+    """Shared back half of every decoder-layer variant: o_proj residual +
+    post-LN + SwiGLU MLP. ``o`` is the attention output, any shape
+    reshapeable to [B, N, dim]."""
+    B, N, _ = x.shape
+    x = x + _lin(p["o_proj"], o.reshape(B, N, cfg.dim), cfg)
+    h = L.rms_norm(p["post_attention_layernorm"], x, cfg.rms_eps)
+    gate = jax.nn.silu(_lin(p["gate_proj"], h, cfg))
+    return x + _lin(p["down_proj"], gate * _lin(p["up_proj"], h, cfg), cfg)
+
+
 def _layer_apply(p, x, positions, mask, cfg: LlamaConfig,
                  layer_cache=None, cache_index=None, use_flash=False,
                  attn_fn=None):
@@ -240,16 +274,7 @@ def _layer_apply(p, x, positions, mask, cfg: LlamaConfig,
     ``attn_fn(q, k, v) -> [B, N, H, D]`` overrides the cache-less attention
     (sequence-parallel ring attention injects itself here)."""
     B, N, d = x.shape
-    H, Hkv, hd = cfg.heads, cfg.kv_heads, cfg.head_dim
-
-    h = L.rms_norm(p["input_layernorm"], x, cfg.rms_eps)
-    q = _lin(p["q_proj"], h, cfg).reshape(B, N, H, hd)
-    k = _lin(p["k_proj"], h, cfg).reshape(B, N, Hkv, hd)
-    v = _lin(p["v_proj"], h, cfg).reshape(B, N, Hkv, hd)
-    q = rope(q, positions, cfg.rope_theta, cfg.rope_scaling,
-             cfg.rope_scaling_factor)
-    k = rope(k, positions, cfg.rope_theta, cfg.rope_scaling,
-             cfg.rope_scaling_factor)
+    q, k, v = _attn_qkv(p, x, positions, cfg)
 
     if layer_cache is not None:
         ckv, cscale = layer_cache               # [S, H_kv, B, 2D] fused
@@ -265,28 +290,19 @@ def _layer_apply(p, x, positions, mask, cfg: LlamaConfig,
             ckv = jax.lax.dynamic_update_slice(
                 ckv, kv_new.astype(ckv.dtype), (cache_index, 0, 0, 0))
         o = _cached_attn(q, ckv, cscale, mask, cfg)
-        x = x + _lin(p["o_proj"], o, cfg)
-        h = L.rms_norm(p["post_attention_layernorm"], x, cfg.rms_eps)
-        gate = jax.nn.silu(_lin(p["gate_proj"], h, cfg))
-        x = x + _lin(p["down_proj"], gate * _lin(p["up_proj"], h, cfg), cfg)
-        return x, (ckv, cscale)
+        return _attn_out_mlp(p, x, o, cfg), (ckv, cscale)
 
     if attn_fn is not None:
-        o = attn_fn(q, k, v).reshape(B, N, d)
+        o = attn_fn(q, k, v)
     elif use_flash:
         # training path: Pallas flash attention (O(S) memory). Right-padded
         # batches are safe under pure causal masking — real tokens never
         # attend forward into padding; pad positions carry no loss.
         from ..ops.flash_attention import flash_attention
-        o = flash_attention(q, k, v, causal=True).reshape(B, N, d)
+        o = flash_attention(q, k, v, causal=True)
     else:
-        o = mha(q, k, v, mask=mask).reshape(B, N, d)
-    x = x + _lin(p["o_proj"], o, cfg)
-
-    h = L.rms_norm(p["post_attention_layernorm"], x, cfg.rms_eps)
-    gate = jax.nn.silu(_lin(p["gate_proj"], h, cfg))
-    x = x + _lin(p["down_proj"], gate * _lin(p["up_proj"], h, cfg), cfg)
-    return x, None
+        o = mha(q, k, v, mask=mask)
+    return _attn_out_mlp(p, x, o, cfg), None
 
 
 def _cached_attn(q: jnp.ndarray, ckv: jnp.ndarray,
@@ -564,22 +580,32 @@ def beam_loop(params, tok0: jnp.ndarray, scores0: jnp.ndarray,
 
 def slot_decode_sample(params, input_ids: jnp.ndarray, active: jnp.ndarray,
                        temperature: jnp.ndarray, top_p: jnp.ndarray,
-                       greedy: jnp.ndarray, cache: SlotCache, key: jax.Array,
+                       greedy: jnp.ndarray, cache: SlotCache,
+                       keys: jax.Array, ctr: jnp.ndarray,
                        cfg: LlamaConfig, top_k: int = 0
                        ) -> Tuple[jnp.ndarray, "SlotCache"]:
     """Fused decode + per-slot sampling: one dispatch, one [B] token
     transfer per step (the round-1 batcher sampled per active slot —
-    O(slots) host syncs per step). ids [B, 1] -> next tokens [B]."""
+    O(slots) host syncs per step). ids [B, 1] -> next tokens [B].
+
+    ``keys`` [B, 2] uint32 is a PER-REQUEST PRNG key per slot and ``ctr``
+    [B] int32 the request's sampled-token counter: row b samples with
+    fold_in(keys[b], ctr[b]). A request's stream therefore depends only
+    on its own (key, position) — seeded requests reproduce exactly under
+    ANY concurrent mix (a single shared stream made a seed reproducible
+    only under serialized arrival)."""
     from ..ops.sampling import sample_batched
     logits, cache = slot_decode(params, input_ids, active, cache, cfg)
-    tok = sample_batched(key, logits, temperature, top_p, greedy, top_k)
+    step_keys = jax.vmap(jax.random.fold_in)(keys, ctr)
+    tok = sample_batched(step_keys, logits, temperature, top_p, greedy, top_k)
     return tok, cache
 
 
 def slot_decode_sample_steps(params, tok0: jnp.ndarray, active: jnp.ndarray,
                              temperature: jnp.ndarray, top_p: jnp.ndarray,
                              greedy: jnp.ndarray, cache: SlotCache,
-                             key: jax.Array, cfg: LlamaConfig,
+                             keys: jax.Array, ctr0: jnp.ndarray,
+                             cfg: LlamaConfig,
                              steps: int = 8, top_k: int = 0
                              ) -> Tuple[jnp.ndarray, "SlotCache"]:
     """Multi-step scheduling: ``steps`` fused decode+sample iterations in
@@ -589,18 +615,19 @@ def slot_decode_sample_steps(params, tok0: jnp.ndarray, active: jnp.ndarray,
     slot sampled past its own finish are garbage that only land in THAT
     slot's cache rows, which the next admit's prefill re-masks (mask is
     ``col <= length`` and prefill resets length), so they are harmless by
-    construction. tok0 [B] -> tokens [steps, B]."""
+    construction. Step t samples row b with fold_in(keys[b], ctr0[b]+t) —
+    identical tokens to ``steps`` single-step calls by construction.
+    tok0 [B] -> tokens [steps, B]."""
 
-    def body(carry, _):
-        tok, c, k = carry
-        k, sub = jax.random.split(k)
+    def body(carry, t):
+        tok, c = carry
         ntok, c = slot_decode_sample(params, tok[:, None], active,
-                                     temperature, top_p, greedy, c, sub,
-                                     cfg, top_k)
-        return (ntok, c, k), ntok
+                                     temperature, top_p, greedy, c,
+                                     keys, ctr0 + t, cfg, top_k)
+        return (ntok, c), ntok
 
-    (_, cache, _), toks = jax.lax.scan(body, (tok0, cache, key), None,
-                                       length=steps)
+    (_, cache), toks = jax.lax.scan(body, (tok0, cache),
+                                    jnp.arange(steps, dtype=jnp.int32))
     return toks, cache
 
 
@@ -610,12 +637,23 @@ class SlotCache(NamedTuple):
     """KV cache with per-slot write positions: each batch row is an
     independent request slot that can be filled/evicted at any time —
     the substrate for continuous batching (left-aligned occupancy per
-    slot; no global cursor). k/v fused like KVCache."""
+    slot; no global cursor). k/v fused like KVCache.
+
+    Axis order [L, B, S, H_kv, 2D] — slot/batch axis LEADING, the
+    opposite of KVCache's [L, S, H, B, 2D]. Measured, not assumed
+    (PERF.md round 5): slot programs address the cache per-slot (prefill
+    writes one slot's [N, H, 2D] slab; decode scatters one row per
+    slot), so XLA's layout assignment wants batch-major physical layout
+    here — compiling these programs against a [L, S, H, B, 2D] buffer
+    made XLA insert a full-cache relayout copy (5G temp at slots=32:
+    compile-OOM; ~10% slower serving at slots=16). The lockstep KVCache
+    has the opposite preference because its programs touch ALL rows at
+    one time index."""
     kv: jnp.ndarray         # [L, B, S, H_kv, 2*D]
     length: jnp.ndarray     # [B] int32 — tokens held per slot
 
     @property
-    def k(self) -> jnp.ndarray:
+    def k(self) -> jnp.ndarray:   # [L, B, S, H_kv, D] storage-layout view
         return self.kv[..., : self.kv.shape[-1] // 2]
 
     @property
@@ -637,9 +675,12 @@ def slot_prefill(params, input_ids: jnp.ndarray, n_tokens: jnp.ndarray,
     """Prefill ONE slot with a right-padded prompt [1, N] holding
     ``n_tokens`` real tokens; other slots untouched. Returns the slot's
     next-token logits [1, V] and the updated cache. ``slot``/``n_tokens``
-    are traced scalars: one compiled program serves every slot."""
+    are traced scalars: one compiled program serves every slot.
+
+    Only rows [0, N) of the slot are written; stale tokens beyond the new
+    length are never attended (every mask is bounded by the slot length,
+    and decode writes position ``length`` before reading it)."""
     N = input_ids.shape[1]
-    S = cache.kv.shape[2]
     x = L.embed(params["embed_tokens"], input_ids)
     positions = jnp.arange(N, dtype=jnp.int32)[None, :]
     col = jax.lax.broadcasted_iota(jnp.int32, (N, N), 1)
@@ -649,28 +690,13 @@ def slot_prefill(params, input_ids: jnp.ndarray, n_tokens: jnp.ndarray,
     def step(carry, inputs):
         h, kv_all = carry
         lp, i = inputs
-        B1, _, _ = h.shape
-        hd = cfg.head_dim
-        hh = L.rms_norm(lp["input_layernorm"], h, cfg.rms_eps)
-        q = L.linear(lp["q_proj"], hh).reshape(B1, N, cfg.heads, hd)
-        kk = L.linear(lp["k_proj"], hh).reshape(B1, N, cfg.kv_heads, hd)
-        vv = L.linear(lp["v_proj"], hh).reshape(B1, N, cfg.kv_heads, hd)
-        q = rope(q, positions, cfg.rope_theta, cfg.rope_scaling,
-             cfg.rope_scaling_factor)
-        kk = rope(kk, positions, cfg.rope_theta, cfg.rope_scaling,
-                  cfg.rope_scaling_factor)
-        o = mha(q, kk, vv, mask=mask).reshape(B1, N, cfg.dim)
-        h = h + L.linear(lp["o_proj"], o)
-        hn = L.rms_norm(lp["post_attention_layernorm"], h, cfg.rms_eps)
-        gate = jax.nn.silu(L.linear(lp["gate_proj"], hn))
-        h = h + L.linear(lp["down_proj"], gate * L.linear(lp["up_proj"], hn))
-        # write this layer's fused k|v into the slot at positions [0, N)
-        pad = jnp.zeros((1, S - N, cfg.kv_heads, 2 * hd), kv_all.dtype)
-        kv_row = jnp.concatenate(
-            [jnp.concatenate([kk, vv], axis=-1).astype(kv_all.dtype), pad],
-            axis=1)
-        kv_all = jax.lax.dynamic_update_slice(kv_all, kv_row[None],
-                                              (i, slot, 0, 0, 0))
+        q, kk, vv = _attn_qkv(lp, h, positions, cfg)
+        o = mha(q, kk, vv, mask=mask)
+        h = _attn_out_mlp(lp, h, o, cfg)
+        # write the chunk's fused k|v [1, N, H, 2D] into slot rows [0, N)
+        kv_row = jnp.concatenate([kk, vv], axis=-1)
+        kv_all = jax.lax.dynamic_update_slice(
+            kv_all, kv_row[None].astype(kv_all.dtype), (i, slot, 0, 0, 0))
         return (h, kv_all), None
 
     L_ = cache.kv.shape[0]
@@ -709,15 +735,7 @@ def slot_prefill_at(params, input_ids: jnp.ndarray, n_tokens: jnp.ndarray,
     def step(carry, inputs):
         h, kv_all = carry
         lp, i = inputs
-        B1 = h.shape[0]
-        hh = L.rms_norm(lp["input_layernorm"], h, cfg.rms_eps)
-        q = L.linear(lp["q_proj"], hh).reshape(B1, N, cfg.heads, hd)
-        kk = L.linear(lp["k_proj"], hh).reshape(B1, N, cfg.kv_heads, hd)
-        vv = L.linear(lp["v_proj"], hh).reshape(B1, N, cfg.kv_heads, hd)
-        q = rope(q, positions, cfg.rope_theta, cfg.rope_scaling,
-                 cfg.rope_scaling_factor)
-        kk = rope(kk, positions, cfg.rope_theta, cfg.rope_scaling,
-                  cfg.rope_scaling_factor)
+        q, kk, vv = _attn_qkv(lp, h, positions, cfg)
         ckv = jax.lax.dynamic_slice(
             kv_all, (i, slot, 0, 0, 0),
             (1, 1, S, cfg.kv_heads, 2 * hd))[0]           # [1, S, H, 2D]
@@ -725,10 +743,7 @@ def slot_prefill_at(params, input_ids: jnp.ndarray, n_tokens: jnp.ndarray,
         ckv = jax.lax.dynamic_update_slice(ckv, kv_chunk, (0, start, 0, 0))
         o = mha(q, ckv[..., :hd].astype(q.dtype),
                 ckv[..., hd:].astype(q.dtype), mask=mask)
-        h = h + L.linear(lp["o_proj"], o.reshape(B1, N, cfg.dim))
-        hn = L.rms_norm(lp["post_attention_layernorm"], h, cfg.rms_eps)
-        gate = jax.nn.silu(L.linear(lp["gate_proj"], hn))
-        h = h + L.linear(lp["down_proj"], gate * L.linear(lp["up_proj"], hn))
+        h = _attn_out_mlp(lp, h, o, cfg)
         kv_all = jax.lax.dynamic_update_slice(kv_all, ckv[None],
                                               (i, slot, 0, 0, 0))
         return (h, kv_all), None
@@ -755,6 +770,23 @@ def install_prefix(prefix_kv: jnp.ndarray, slot: jnp.ndarray,
     return SlotCache(kv, cache.length)
 
 
+def install_and_prefill_at(params, prefix_kv: jnp.ndarray,
+                           input_ids: jnp.ndarray, n_tokens: jnp.ndarray,
+                           slot: jnp.ndarray, start: jnp.ndarray,
+                           cache: SlotCache, cfg: LlamaConfig
+                           ) -> Tuple[jnp.ndarray, SlotCache]:
+    """Prefix install FOLDED into the remainder's prefill: ONE dispatch.
+
+    A separate :func:`install_prefix` dispatch costs a full host round
+    trip (~36 ms through a remote PJRT link) — measured to outweigh the
+    prefill compute a short shared prefix saves (PERF.md round 4). Fusing
+    the block copy into the first prefill program makes a prefix hit
+    strictly cheaper than recomputing it, at every prefix length."""
+    cache = install_prefix(prefix_kv, slot, cache)
+    return slot_prefill_at(params, input_ids, n_tokens, slot, start, cache,
+                           cfg)
+
+
 def slot_decode(params, input_ids: jnp.ndarray, active: jnp.ndarray,
                 cache: SlotCache, cfg: LlamaConfig
                 ) -> Tuple[jnp.ndarray, SlotCache]:
@@ -762,40 +794,30 @@ def slot_decode(params, input_ids: jnp.ndarray, active: jnp.ndarray,
     writes and length increments for occupied slots. ids [B, 1]."""
     B = input_ids.shape[0]
     S = cache.kv.shape[2]
+    hd = cfg.head_dim
     x = L.embed(params["embed_tokens"], input_ids)
     positions = cache.length[:, None]
     col = jax.lax.broadcasted_iota(jnp.int32, (1, S), 1)[None, None]
     mask = col <= cache.length[:, None, None, None]   # [B,1,1,S]
 
     rows = jnp.arange(B)
+    pos = cache.length.clip(0, S - 1)
 
     def step(carry, inputs):
         h, kv_all = carry
         lp, i = inputs
-        hd = cfg.head_dim
-        hh = L.rms_norm(lp["input_layernorm"], h, cfg.rms_eps)
-        q = L.linear(lp["q_proj"], hh).reshape(B, 1, cfg.heads, hd)
-        kk = L.linear(lp["k_proj"], hh).reshape(B, 1, cfg.kv_heads, hd)
-        vv = L.linear(lp["v_proj"], hh).reshape(B, 1, cfg.kv_heads, hd)
-        q = rope(q, positions, cfg.rope_theta, cfg.rope_scaling,
-             cfg.rope_scaling_factor)
-        kk = rope(kk, positions, cfg.rope_theta, cfg.rope_scaling,
-                  cfg.rope_scaling_factor)
+        q, kk, vv = _attn_qkv(lp, h, positions, cfg)
         # scatter each row's fused k|v at its own write position; positions
         # are PER-ROW, so an inactive row's clipped cursor only touches
         # that row — preserve it by rewriting the old value.
-        ckv = kv_all[i]
-        pos = cache.length.clip(0, S - 1)
-        old = ckv[rows, pos]
+        ckv = kv_all[i]                                   # [B, S, H, 2D]
         kv_cur = jnp.concatenate([kk, vv], axis=-1)[:, 0].astype(ckv.dtype)
+        old = ckv[rows, pos]                              # [B, H, 2D]
         ckv = ckv.at[rows, pos].set(
             jnp.where(active[:, None, None], kv_cur, old))
         o = mha(q, ckv[..., :hd].astype(q.dtype),
                 ckv[..., hd:].astype(q.dtype), mask=mask)
-        h = h + L.linear(lp["o_proj"], o.reshape(B, 1, cfg.dim))
-        hn = L.rms_norm(lp["post_attention_layernorm"], h, cfg.rms_eps)
-        gate = jax.nn.silu(L.linear(lp["gate_proj"], hn))
-        h = h + L.linear(lp["down_proj"], gate * L.linear(lp["up_proj"], hn))
+        h = _attn_out_mlp(lp, h, o, cfg)
         kv_all = jax.lax.dynamic_update_index_in_dim(kv_all, ckv, i, 0)
         return (h, kv_all), None
 

@@ -542,6 +542,17 @@ def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
             and _short_vmem_bytes(Sq, Sk, H, D) < 12 * 1024 * 1024):
         return _short_mha(q, k, v, scale, exact)
 
+    if exact:
+        # exact=True promises the op-faithful epilogue (fp32-normalize,
+        # bf16-round, then P@V — the identical op sequence as ops.attention
+        # .mha); only _short_mha implements it. Falling through to the
+        # tiled kernel would silently swap in reassociated online-softmax
+        # numerics, losing the guarantee ViTConfig.flash_exact relies on
+        # for VQ-index stability — take the XLA path instead.
+        from .attention import sliced_causal_mask
+        mask = sliced_causal_mask(Sq, Sk, q_offset) if causal else None
+        return mha(q, k, v, mask=mask, scale=scale)
+
     rnd = lambda s: -(-s // 128) * 128
     return _flash(q, k, v, causal, scale, q_offset,
                   min(BLOCK_Q, rnd(Sq)), min(BLOCK_K, rnd(Sk)))

@@ -120,11 +120,20 @@ def sample_batched(
     carry its own temperature/top_p/greedy flag inside ONE compiled
     program (only top_k must be shared — its k is a static shape).
 
+    ``key`` is either ONE uint32[2] key (one gumbel draw covers all rows)
+    or PER-ROW keys uint32[B, 2] — per-row keys make each slot's sampling
+    stream a function of its own request only, so a seeded request
+    reproduces exactly under any concurrent slot mix.
+
     -> int32 [B]."""
     arg = jnp.argmax(logits, axis=-1).astype(jnp.int32)
     scaled = logits / jnp.maximum(temperature, 1e-6)[:, None]
     if top_k:
         scaled = apply_top_k(scaled, top_k)
     scaled = apply_top_p_rowwise(scaled, top_p, candidates=top_p_candidates)
-    samp = jax.random.categorical(key, scaled, axis=-1).astype(jnp.int32)
+    if key.ndim == 2:               # per-row keys [B, 2]
+        samp = jax.vmap(lambda k, l: jax.random.categorical(k, l))(
+            key, scaled).astype(jnp.int32)
+    else:
+        samp = jax.random.categorical(key, scaled, axis=-1).astype(jnp.int32)
     return jnp.where(greedy, arg, samp)

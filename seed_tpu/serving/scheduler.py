@@ -17,6 +17,7 @@ import collections
 import functools
 import itertools
 import threading
+import time
 from dataclasses import dataclass, field
 from typing import Callable, Dict, List, Optional, Sequence
 
@@ -28,14 +29,26 @@ from ..models import llama as M
 from ..ops.sampling import sample
 from .engine import GenerationConfig
 
+_ZERO_KEY = np.zeros(2, np.uint32)
+
 
 @dataclass
 class Request:
     request_id: int
     prompt: List[int]
     gen: GenerationConfig
+    # per-request PRNG key: token t samples with fold_in(key, t), so the
+    # stream depends only on this request — reproducible under any
+    # concurrent slot mix (a shared stream was reproducible only under
+    # serialized arrival)
+    key: np.ndarray = field(default_factory=lambda: _ZERO_KEY.copy())
     tokens: List[int] = field(default_factory=list)
     done: bool = False
+    # wall-clock accounting (perf_counter): TTFT = t_first - t_submit,
+    # end-to-end latency = t_done - t_submit
+    t_submit: float = 0.0
+    t_first: float = 0.0
+    t_done: float = 0.0
 
 
 class ContinuousBatcher:
@@ -60,7 +73,12 @@ class ContinuousBatcher:
         self._prefill_at = jax.jit(
             functools.partial(M.slot_prefill_at, cfg=cfg),
             donate_argnums=(5,))
-        self._install = jax.jit(M.install_prefix, donate_argnums=(2,))
+        # prefix install FUSED into the first prefill chunk's dispatch —
+        # a separate install dispatch cost more than a short prefix saved
+        # (PERF.md round 4); one compiled program per (prefix_len, bucket)
+        self._install_prefill = jax.jit(
+            functools.partial(M.install_and_prefill_at, cfg=cfg),
+            donate_argnums=(6,))
         # prefix cache: token-tuple -> fused kv [L, P, H_kv, 2D] on device
         # (vLLM-style shared-system-prompt reuse; longest match wins)
         self.prefixes: Dict[tuple, jnp.ndarray] = {}
@@ -75,10 +93,13 @@ class ContinuousBatcher:
         self._decode_sample_steps = jax.jit(
             functools.partial(M.slot_decode_sample_steps, cfg=cfg),
             donate_argnums=(6,), static_argnames=("top_k", "steps"))
+        # first-token pick after prefill: same per-request fold_in(key, ctr)
+        # stream as the batched decode programs
         self._sample = jax.jit(
-            lambda key, logits, t, p, k, s: sample(key, logits, t, p, k, s),
-            static_argnums=(2, 3, 4, 5))
-        self.key = jax.random.PRNGKey(seed)
+            lambda key, ctr, logits, t, p, k, s:
+                sample(jax.random.fold_in(key, ctr), logits, t, p, k, s),
+            static_argnums=(3, 4, 5, 6))
+        self._seed = np.uint32(seed)
         self.queue: collections.deque = collections.deque()
         self.active: List[Optional[Request]] = [None] * slots
         # which registered prefix a slot's cache positions [0, len) hold.
@@ -94,14 +115,21 @@ class ContinuousBatcher:
     # ------------------------------ API ------------------------------------
 
     def submit(self, prompt: Sequence[int],
-               gen: Optional[GenerationConfig] = None) -> int:
+               gen: Optional[GenerationConfig] = None,
+               key: Optional[np.ndarray] = None) -> int:
+        """``key`` (uint32[2]) seeds this request's private sampling
+        stream; default derives one from (batcher seed, request id)."""
         if len(prompt) >= self.max_len:
             raise ValueError(
                 f"prompt of {len(prompt)} tokens exceeds max_len="
                 f"{self.max_len} (no room to generate)")
         gen = gen or GenerationConfig()
         rid = next(self._id_counter)
-        self.queue.append(Request(rid, list(prompt), gen))
+        if key is None:
+            key = np.array([self._seed, rid], np.uint32)
+        req = Request(rid, list(prompt), gen, key=np.asarray(key, np.uint32))
+        req.t_submit = time.perf_counter()
+        self.queue.append(req)
         return rid
 
     def register_prefix(self, prefix: Sequence[int]) -> None:
@@ -119,7 +147,7 @@ class ContinuousBatcher:
                 f"prefix of {n} tokens exceeds max_len={self.max_len}")
         scratch = M.init_slot_cache(self.cfg, 1, self.max_len,
                                     self.cache.kv.dtype)
-        _, scratch = self._chunked_prefill(list(prefix), 0, 0, scratch)
+        _, scratch, _ = self._chunked_prefill(list(prefix), 0, 0, scratch)
         # pin [L, P, H_kv, 2D]; jnp slicing keeps it on device
         self.prefixes[prefix] = scratch.kv[:, 0, :n]
 
@@ -154,27 +182,34 @@ class ContinuousBatcher:
         return self.buckets[-1]
 
     def _chunked_prefill(self, tokens: List[int], slot: int, start: int,
-                         cache):
+                         cache, install_kv=None):
         """Prefill ``tokens[start:]`` into ``slot`` in bucket-sized chunks
         (positions [0, start) must already hold cached KV — the prefix-hit
         path). Prompts longer than the largest bucket take multiple
         dispatches; a chunk whose bucket would overrun the cache end
         SLIDES BACK so it ends exactly at max_len, re-listing (and
-        recomputing — deterministic, so bit-identical) the overlapping
-        already-cached tokens instead of letting dynamic_update_slice
-        clamp the write offset and corrupt the prefix tail.
+        recomputing) the overlapping already-cached tokens instead of
+        letting dynamic_update_slice clamp the write offset and corrupt
+        the prefix tail.
 
-        Returns (last-token logits [1, V], cache)."""
+        Returns (last-token logits [1, V], cache, clobbered_prefix): the
+        flag is True when a slide-back rewrote positions below ``start``
+        — the recomputed values are equivalent but not guaranteed
+        bit-identical to an installed prefix's pinned KV (different chunk
+        boundaries under a lossy cache dtype), so the caller must drop
+        the slot's prefix-identity tag and re-install on the next hit."""
         S = self.max_len
         n_total = len(tokens)
         pos = start
         logits = None
+        clobbered = False
         while pos < n_total:
             n = min(n_total - pos, self.buckets[-1])
             bucket = self._bucket(n)
             chunk_start = pos
             if chunk_start + bucket > S:
                 chunk_start = S - bucket      # slide back; overlap recomputed
+            clobbered = clobbered or chunk_start < start
             n_eff = pos + n - chunk_start     # real tokens incl. overlap
             ids = np.zeros((1, bucket), np.int32)
             ids[0, :n_eff] = tokens[chunk_start:pos + n]
@@ -183,6 +218,15 @@ class ContinuousBatcher:
                     self.params, jnp.asarray(ids),
                     jnp.asarray(n_eff, jnp.int32),
                     jnp.asarray(slot, jnp.int32), cache)
+            elif install_kv is not None:
+                # prefix-hit admit: block-copy the pinned prefix KV and
+                # run this chunk in the SAME dispatch
+                logits, cache = self._install_prefill(
+                    self.params, install_kv, jnp.asarray(ids),
+                    jnp.asarray(n_eff, jnp.int32),
+                    jnp.asarray(slot, jnp.int32),
+                    jnp.asarray(chunk_start, jnp.int32), cache)
+                install_kv = None
             else:
                 logits, cache = self._prefill_at(
                     self.params, jnp.asarray(ids),
@@ -190,7 +234,7 @@ class ContinuousBatcher:
                     jnp.asarray(slot, jnp.int32),
                     jnp.asarray(chunk_start, jnp.int32), cache)
             pos += n
-        return logits, cache
+        return logits, cache, clobbered
 
     def _admit(self):
         """Prefill queued requests into free slots."""
@@ -199,33 +243,38 @@ class ContinuousBatcher:
                 continue
             req = self.queue.popleft()
             hit = self._match_prefix(req.prompt)
+            install_kv = None
             if hit is not None:
                 start, pkv = hit
                 pref = tuple(req.prompt[:start])
                 if self.slot_prefix[slot] != pref:
-                    self.cache = self._install(
-                        pkv, jnp.asarray(slot, jnp.int32), self.cache)
+                    install_kv = pkv   # folded into the first prefill chunk
                     self.slot_prefix[slot] = pref
             else:
                 start = 0
                 # a from-0 prefill overwrites [0, plen): the slot no
                 # longer holds any registered prefix
                 self.slot_prefix[slot] = None
-            logits, self.cache = self._chunked_prefill(
-                req.prompt, slot, start, self.cache)
+            logits, self.cache, clobbered = self._chunked_prefill(
+                req.prompt, slot, start, self.cache, install_kv)
+            if clobbered:
+                # a slide-back chunk rewrote positions inside the prefix
+                # region: the rows are no longer the pinned install
+                self.slot_prefix[slot] = None
             tok = self._pick(logits, req, first=True)
             self.active[slot] = req
             self.next_tok[slot] = tok
             req.tokens.append(int(tok))
+            req.t_first = time.perf_counter()
             self._maybe_finish(slot)
 
     def _pick(self, logits, req: Request, first: bool = False) -> int:
         g = req.gen
         if first and g.forced_first_token is not None:
             return g.forced_first_token
-        self.key, sub = jax.random.split(self.key)
-        tok = self._sample(sub, logits, g.temperature, g.top_p, g.top_k,
-                           g.do_sample)
+        tok = self._sample(jnp.asarray(req.key),
+                           jnp.asarray(len(req.tokens), jnp.int32), logits,
+                           g.temperature, g.top_p, g.top_k, g.do_sample)
         return int(np.asarray(tok)[0])
 
     def _maybe_finish(self, slot: int):
@@ -239,20 +288,26 @@ class ContinuousBatcher:
             if hit_eos:
                 req.tokens.pop()
             req.done = True
+            req.t_done = time.perf_counter()
             self.finished[req.request_id] = req
             self.active[slot] = None   # slot freed for the next admit
 
     def _chunk_budget(self) -> int:
-        """Steps the whole pool can decode before ANY active slot hits its
-        token budget or cache end (eos may still finish one early — those
-        tokens are discarded host-side, see slot_decode_sample_steps)."""
-        rem = []
-        for req in self.active:
-            if req is None:
-                continue
-            rem.append(min(
-                req.gen.max_new_tokens - len(req.tokens),
-                (self.max_len - 1) - (len(req.prompt) + len(req.tokens))))
+        """Steps the whole pool can decode in ONE dispatch without any
+        active slot overrunning the cache end — the only HARD bound.
+
+        Token budgets and eos do NOT cap the chunk: a slot finishing
+        mid-chunk has its tail discarded host-side (harmless by
+        construction, slot_decode_sample_steps docstring), and admits
+        can only happen between chunks anyway, so over-decoding a
+        finished slot costs nothing the freed slot could have used.
+        Round 4 capped by the POOL-MIN remaining budget, which collapses
+        k_eff to 1-2 whenever any one slot is nearly done — at slots=32
+        that is almost every chunk, and it was the real cause of the
+        "slots=32 regresses 2x" measurement (PERF.md round 5), not the
+        decode program."""
+        rem = [(self.max_len - 1) - (len(r.prompt) + len(r.tokens))
+               for r in self.active if r is not None]
         return max(1, min(rem)) if rem else 1
 
     def step(self):
@@ -266,6 +321,12 @@ class ContinuousBatcher:
         # slot-wise host path (rare; the reference never sets top_k at all)
         gens = [r.gen if r is not None else GenerationConfig()
                 for r in self.active]
+        # per-slot request keys + sampled-token counters: token t of a
+        # request samples with fold_in(req.key, t) on device
+        keys = np.stack([r.key if r is not None else _ZERO_KEY
+                         for r in self.active])
+        ctrs = np.asarray([len(r.tokens) if r is not None else 0
+                           for r in self.active], np.int32)
         top_ks = {g.top_k for g, a in zip(gens, active_mask) if a}
         k_eff = min(self.decode_chunk, self._chunk_budget())
         # floor to a power of two: ``steps`` is a static shape, so every
@@ -277,11 +338,11 @@ class ContinuousBatcher:
             tops = np.asarray([g.top_p for g in gens], np.float32)
             greedy = np.asarray(
                 [(not g.do_sample) or g.temperature == 0.0 for g in gens])
-            self.key, sub = jax.random.split(self.key)
             toks_dev, self.cache = self._decode_sample_steps(
                 self.params, jnp.asarray(self.next_tok),
                 jnp.asarray(active_mask), jnp.asarray(temps),
-                jnp.asarray(tops), jnp.asarray(greedy), self.cache, sub,
+                jnp.asarray(tops), jnp.asarray(greedy), self.cache,
+                jnp.asarray(keys), jnp.asarray(ctrs),
                 steps=k_eff, top_k=(top_ks.pop() if top_ks else 0))
             toks = np.asarray(toks_dev)         # [k_eff, slots], ONE transfer
             live = [self.active[s] is not None for s in range(self.slots)]
@@ -309,11 +370,11 @@ class ContinuousBatcher:
             tops = np.asarray([g.top_p for g in gens], np.float32)
             greedy = np.asarray(
                 [(not g.do_sample) or g.temperature == 0.0 for g in gens])
-            self.key, sub = jax.random.split(self.key)
             tok_dev, self.cache = self._decode_sample(
                 self.params, jnp.asarray(ids), jnp.asarray(active_mask),
                 jnp.asarray(temps), jnp.asarray(tops), jnp.asarray(greedy),
-                self.cache, sub, top_k=(top_ks.pop() if top_ks else 0))
+                self.cache, jnp.asarray(keys), jnp.asarray(ctrs),
+                top_k=(top_ks.pop() if top_ks else 0))
             toks = np.asarray(tok_dev)          # ONE transfer for all slots
         for slot in range(self.slots):
             req = self.active[slot]
@@ -354,6 +415,7 @@ class ScheduledEngine:
             seed=seed, decode_chunk=decode_chunk)
         self._cv = threading.Condition()
         self._closed = False
+        self._error: Optional[BaseException] = None
         self._thread = threading.Thread(target=self._drain, daemon=True)
         self._thread.start()
 
@@ -364,19 +426,29 @@ class ScheduledEngine:
     def generate(self, prompts: Sequence[Sequence[int]],
                  gen: Optional[GenerationConfig] = None,
                  seed: Optional[int] = None) -> List[List[int]]:
-        """Blocks until all ``prompts`` finish; safe from many threads."""
+        """Blocks until all ``prompts`` finish; safe from many threads.
+
+        ``seed`` seeds PER-REQUEST sampling keys (prompt i gets
+        fold-target (seed, i)) — reproducible regardless of what other
+        requests are in flight, because each request samples from its own
+        key stream (slot_decode_sample docstring)."""
         with self._cv:
-            if seed is not None:
-                # per-request reseeding folds into the shared stream (the
-                # batcher samples all slots with one key); deterministic
-                # only when requests arrive in a deterministic order
-                self.batcher.key = jax.random.fold_in(
-                    jax.random.PRNGKey(seed), 0)
-            rids = [self.batcher.submit(list(p), gen) for p in prompts]
+            rids = [self.batcher.submit(
+                list(p), gen,
+                key=None if seed is None else
+                np.array([np.uint32(seed), np.uint32(0x80000000 + i)],
+                         np.uint32))
+                for i, p in enumerate(prompts)]
             self._cv.notify_all()
             self._cv.wait_for(
-                lambda: all(r in self.batcher.finished for r in rids))
-            return [self.batcher.finished[r].tokens for r in rids]
+                lambda: self._error is not None
+                or all(r in self.batcher.finished for r in rids))
+            if self._error is not None:
+                raise RuntimeError(
+                    "serving drain thread died") from self._error
+            # pop: a long-running server must not retain every finished
+            # request (prompt + tokens) forever
+            return [self.batcher.finished.pop(r).tokens for r in rids]
 
     def close(self):
         with self._cv:
@@ -391,5 +463,10 @@ class ScheduledEngine:
                     lambda: self._closed or self.batcher.has_work())
                 if self._closed:
                     return
-                self.batcher.step()
+                try:
+                    self.batcher.step()
+                except BaseException as e:   # wake waiters, don't hang them
+                    self._error = e
+                    self._cv.notify_all()
+                    return
                 self._cv.notify_all()

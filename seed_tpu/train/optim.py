@@ -53,6 +53,30 @@ def warmup_cosine(base_lr: float, warmup_steps: int, total_steps: int,
     return schedule
 
 
+def warmup_step_decay(base_lr: float, warmup_steps: int,
+                      steps_per_epoch: int, min_lr: float = 0.0,
+                      decay_rate: float = 1.0, warmup_start_lr: float = -1.0):
+    """LAVIS LinearWarmupStepLRScheduler (optims.py:13-52): linear warmup
+    over epoch 0 (clamped at base_lr past ``warmup_steps``), then a
+    per-EPOCH exponential step decay ``max(min_lr, base * rate**epoch)``.
+
+    The reference steps it with (cur_epoch, cur_step); here one global
+    step drives both via ``steps_per_epoch``, so it drops into the same
+    jitted-train-step slot as the cosine schedules."""
+    init = warmup_start_lr if warmup_start_lr >= 0 else base_lr
+
+    def schedule(step):
+        step = jnp.asarray(step, jnp.float32)
+        warm = jnp.minimum(
+            base_lr,
+            init + (base_lr - init) * step / jnp.maximum(1.0, warmup_steps))
+        epoch = jnp.floor(step / jnp.maximum(1.0, steps_per_epoch))
+        decay = jnp.maximum(min_lr, base_lr * decay_rate ** epoch)
+        return jnp.where(epoch < 1, warm, decay)
+
+    return schedule
+
+
 def _decay_mask(params):
     """True = apply weight decay. Excludes 1-d params (norm scales, biases)."""
     return jax.tree_util.tree_map_with_path(
@@ -105,8 +129,11 @@ def learnable_image_embeddings_only(tx, old_vocab_size: int,
     gradient hook that zeroes every OLD-vocab row of the input and output
     embedding gradients, so only the 8194 added rows (image codes + BOI/
     EOI) train (MultiModalLLM/src/model/peft_model.py:130-163). Here the
-    same contract is an optax wrapper over the FINAL update (stronger than
-    a grad hook: decoupled weight decay cannot shrink frozen rows either):
+    same contract is an optax wrapper that zeroes the frozen rows of the
+    RAW gradients before ``tx`` — exactly where the reference hook acts,
+    so global-norm clipping and Adam moments inside ``tx`` see identical
+    gradients — AND masks the final update again (stronger than the hook:
+    decoupled weight decay cannot shrink frozen rows either):
 
     - ``embed_tokens/embedding`` [V, D]: rows outside
       [old_vocab_size, vocab_size) get a zero update;
@@ -138,7 +165,7 @@ def learnable_image_embeddings_only(tx, old_vocab_size: int,
         return tx.init(params)
 
     def update_fn(grads, state, params=None):
-        updates, state = tx.update(grads, state, params)
+        updates, state = tx.update(mask_updates(grads), state, params)
         return mask_updates(updates), state
 
     return optax.GradientTransformation(init_fn, update_fn)

@@ -421,3 +421,105 @@ class TestSFTBuilders3:
                                    reverse_ratio=0.0, mask_left_label=True,
                                    caption_prompts=GENERATION_PROMPTS)
         assert ex is not None
+
+
+class TestLmdbIdsSource:
+    """CC3M LMDB alt-path reader (MultiModalLLM/src/data/cc3m.py): TSV
+    meta + keyed pickled-id store -> caption records; missing keys
+    skipped; per-host row sharding."""
+
+    def _store(self):
+        import pickle
+        return {"img_0": pickle.dumps([1, 2, 3]),
+                "img_2": pickle.dumps(list(range(32)))}
+
+    def _meta(self, tmp_path):
+        meta = tmp_path / "meta.tsv"
+        meta.write_text("a cat\timg_0\n"
+                        "dropped (missing key)\timg_1\n"
+                        "a dog on grass\timg_2\n")
+        return str(meta)
+
+    def test_reads_and_skips_missing(self, tmp_path):
+        from seed_tpu.data import lmdb_ids_source
+        store = self._store()
+        recs = list(lmdb_ids_source(self._meta(tmp_path), "",
+                                    get_fn=store.get,
+                                    host_index=0, host_count=1))
+        assert [r["caption"] for r in recs] == ["a cat", "a dog on grass"]
+        assert recs[0]["image_ids"] == [1, 2, 3]
+        assert len(recs[1]["image_ids"]) == 32
+
+    def test_feeds_caption_builder(self, tmp_path):
+        from seed_tpu.data import build_caption_example, lmdb_ids_source
+        from seed_tpu.serving import ByteTextTokenizer
+        rec = next(lmdb_ids_source(self._meta(tmp_path), "",
+                                   get_fn=self._store().get,
+                                   host_index=0, host_count=1))
+        rec = {"image_ids": rec["image_ids"], "text": rec["caption"]}
+        ex = build_caption_example(rec, ByteTextTokenizer(), max_length=64,
+                                   reverse_ratio=0.0)
+        assert ex is not None and (ex["input_ids"] >= 0).all()
+
+    def test_host_sharding(self, tmp_path):
+        from seed_tpu.data import lmdb_ids_source
+        store = self._store()
+        r0 = list(lmdb_ids_source(self._meta(tmp_path), "", get_fn=store.get,
+                                  host_index=0, host_count=2))
+        r1 = list(lmdb_ids_source(self._meta(tmp_path), "", get_fn=store.get,
+                                  host_index=1, host_count=2))
+        caps = sorted(r["caption"] for r in r0 + r1)
+        assert caps == ["a cat", "a dog on grass"]
+        assert len(r0) + len(r1) == 2
+
+
+class TestLazyDecodeDraft:
+    """decode_image_text_lazy + resize_draft: the training-stream input
+    path (DCT-domain downscale decode). Pixels approximate the eager
+    decode+resize; corrupt headers are skipped like the eager decoder."""
+
+    def _shard(self, tmp_path, img_bytes, name="00000.jpg"):
+        import io
+        import tarfile
+        path = tmp_path / "s.tar"
+        with tarfile.open(path, "w") as tf:
+            info = tarfile.TarInfo(name)
+            info.size = len(img_bytes)
+            tf.addfile(info, io.BytesIO(img_bytes))
+            cap = b"hello"
+            info = tarfile.TarInfo(name.rsplit(".", 1)[0] + ".txt")
+            info.size = len(cap)
+            tf.addfile(info, io.BytesIO(cap))
+        return str(path)
+
+    def test_draft_matches_eager_approximately(self, tmp_path):
+        import io
+        from PIL import Image
+        from seed_tpu.data import resize_draft, tar_source
+        from seed_tpu.data.pipeline import (decode_image_text,
+                                            decode_image_text_lazy)
+        rng = np.random.RandomState(0)
+        arr = rng.randint(0, 256, (16, 16, 3), np.uint8)
+        img = Image.fromarray(arr).resize((512, 512), Image.BILINEAR)
+        buf = io.BytesIO()
+        img.save(buf, "JPEG", quality=95)
+        path = self._shard(tmp_path, buf.getvalue())
+
+        eager = next(tar_source(path, decode=decode_image_text,
+                                host_index=0, host_count=1))
+        lazy = next(tar_source(path, decode=decode_image_text_lazy,
+                               host_index=0, host_count=1))
+        a = np.asarray(eager["image"].resize((224, 224)), np.float32)
+        b = np.asarray(resize_draft(lazy["image"], 224), np.float32)
+        assert b.shape == (224, 224, 3)
+        # draft decodes at a coarser DCT scale: close, not bit-equal
+        assert np.abs(a - b).mean() < 8.0
+        assert lazy["text"] == "hello"
+
+    def test_corrupt_header_skipped(self, tmp_path):
+        from seed_tpu.data import tar_source
+        from seed_tpu.data.pipeline import decode_image_text_lazy
+        path = self._shard(tmp_path, b"not a jpeg at all")
+        recs = list(tar_source(path, decode=decode_image_text_lazy,
+                               host_index=0, host_count=1))
+        assert recs == []

@@ -180,6 +180,47 @@ class TestFullNet:
                   base)
         assert np.isfinite(val)
 
+    def test_fc_head_and_inception_score_from_pixels(self):
+        """The IS path (inception_score.py:35-43): trunk -> avg pool ->
+        fc -> softmax, converter maps torch fc [1000, 2048] -> [2048,
+        1000], and metrics.inception_score runs from the resulting
+        probs."""
+        rng = np.random.RandomState(40)
+        sd = _rand_state_dict(41)
+        sd["fc.weight"] = rng.randn(1000, 2048).astype(np.float32) * 0.02
+        sd["fc.bias"] = rng.randn(1000).astype(np.float32) * 0.01
+        params = convert_inception_torch(sd)
+        from seed_tpu.eval.inception import inception_pool3 as _p3
+        from seed_tpu.eval import inception_logits, inception_probs
+        x = jnp.asarray(rng.rand(6, 75, 75, 3) * 2 - 1, jnp.float32)
+        logits = np.asarray(inception_logits(params, x, resize_input=False))
+        assert logits.shape == (6, 1000)
+        # fc is exactly pool @ W^T + b against the UN-normalized trunk
+        pool = np.asarray(_p3(params, x, resize_input=False,
+                              normalize_input=False))
+        want = pool @ sd["fc.weight"].T + sd["fc.bias"]
+        np.testing.assert_allclose(logits, want, atol=2e-3, rtol=1e-4)
+        probs = np.asarray(inception_probs(params, x, resize_input=False))
+        np.testing.assert_allclose(probs.sum(-1), 1.0, atol=1e-5)
+        from seed_tpu.eval.metrics import inception_score
+        mean, std = inception_score(probs, splits=2)
+        assert np.isfinite(mean) and np.isfinite(std) and mean >= 1.0 - 1e-5
+        # init_inception(with_fc=True) matches the converted structure
+        ref = init_inception(jax.random.PRNGKey(0), with_fc=True)
+        assert jax.tree_util.tree_structure(params) == \
+            jax.tree_util.tree_structure(ref)
+
+    def test_is_resize_matches_torch_upsample(self):
+        """nn.Upsample(299, 'bilinear') (align_corners=False) == jax.image
+        .resize half-pixel semantics — the IS wrapper's resize branch."""
+        x = np.random.RandomState(42).rand(2, 64, 64, 3).astype(np.float32)
+        want = F.interpolate(torch.tensor(x.transpose(0, 3, 1, 2)),
+                             size=(299, 299), mode="bilinear",
+                             align_corners=False).numpy().transpose(0, 2, 3, 1)
+        got = np.asarray(jax.image.resize(jnp.asarray(x), (2, 299, 299, 3),
+                                          "bilinear"))
+        np.testing.assert_allclose(got, want, atol=2e-5, rtol=1e-5)
+
     def test_input_normalization_formula(self):
         """The wrapper's exact channel remap (inception.py:115-118):
         x*(std/0.5) + (mean-0.5)/0.5 — checked against a literal torch

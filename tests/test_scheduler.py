@@ -166,8 +166,9 @@ class TestContinuousBatcher:
                                    cache_dtype=jnp.float32)
         cached.register_prefix(system)
         installs = []
-        real_install = cached._install
-        cached._install = lambda *a: (installs.append(1), real_install(*a))[1]
+        real_install = cached._install_prefill
+        cached._install_prefill = \
+            lambda *a, **k: (installs.append(1), real_install(*a, **k))[1]
 
         rids_c = [cached.submit(p, gen) for p in hits]
         got = cached.run()
@@ -232,6 +233,57 @@ class TestContinuousBatcher:
         out = cb.run()
         eng = LlamaEngine(params, CFG, max_len=30, cache_dtype=jnp.float32)
         assert out[rid] == eng.generate([prompt], gen)[0]
+
+    def test_slide_back_into_prefix_invalidates_slot(self, params):
+        """A chunk slide-back that rewrites positions inside an installed
+        prefix must drop the slot's prefix tag, so the NEXT same-prefix
+        admission re-installs instead of trusting drifted rows (advisor
+        r04 medium: len(prefix) > max_len - largest bucket)."""
+        gen = GenerationConfig(max_new_tokens=1, do_sample=False,
+                               eos_token_id=-1)
+        system = [(i * 5 + 1) % 40 for i in range(10)]   # 10 > 16 - 8
+        prompt = system + [6, 2, 9, 4, 1]                # 15 tokens: slides
+        plain = ContinuousBatcher(params, CFG, slots=1, max_len=16,
+                                  prompt_buckets=(4, 8),
+                                  cache_dtype=jnp.float32)
+        rp = [plain.submit(prompt, gen), plain.submit(prompt, gen)]
+        want = plain.run()
+
+        cached = ContinuousBatcher(params, CFG, slots=1, max_len=16,
+                                   prompt_buckets=(4, 8),
+                                   cache_dtype=jnp.float32)
+        cached.register_prefix(system)
+        installs = []
+        real_install = cached._install_prefill
+        cached._install_prefill = \
+            lambda *a, **k: (installs.append(1), real_install(*a, **k))[1]
+        rc = [cached.submit(prompt, gen), cached.submit(prompt, gen)]
+        got = cached.run()
+        # the slide-back rewrote prefix rows -> slot tag dropped -> the
+        # second admission re-installs (no skip on poisoned rows)
+        assert len(installs) == 2
+        assert cached.slot_prefix[0] is None
+        for a, b in zip(rp, rc):
+            assert want[a] == got[b]
+
+    def test_per_request_seed_reproducible_under_concurrency(self, params):
+        """A seeded sampled request yields the SAME tokens whether it runs
+        alone or alongside other traffic (per-request fold_in streams)."""
+        gen = GenerationConfig(max_new_tokens=6, do_sample=True,
+                               temperature=1.0, top_p=0.9, eos_token_id=-1)
+        key = np.array([1234, 7], np.uint32)
+        solo = ContinuousBatcher(params, CFG, slots=2, max_len=64,
+                                 cache_dtype=jnp.float32)
+        r = solo.submit([1, 5, 9], gen, key=key)
+        want = solo.run()[r]
+
+        busy = ContinuousBatcher(params, CFG, slots=2, max_len=64,
+                                 cache_dtype=jnp.float32, decode_chunk=4)
+        others = [busy.submit([2, 7], gen), busy.submit([3, 3, 3], gen)]
+        r2 = busy.submit([1, 5, 9], gen, key=key)
+        got = busy.run()
+        assert got[r2] == want
+        assert all(len(got[o]) == 6 for o in others)
 
     def test_submit_rejects_overlong_prompt(self, params):
         cb = ContinuousBatcher(params, CFG, slots=1, max_len=16,

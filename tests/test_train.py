@@ -36,6 +36,22 @@ class TestSchedules:
         assert float(s(110)) >= 0.1 - 1e-6
         assert float(s(60)) < 1.0
 
+    def test_warmup_step_decay(self):
+        """LAVIS LinearWarmupStepLRScheduler (optims.py:13-52): linear
+        warmup inside epoch 0, clamped at base past warmup_steps, then
+        max(min_lr, base * rate**epoch) per epoch."""
+        from seed_tpu.train import warmup_step_decay
+        s = warmup_step_decay(1.0, warmup_steps=10, steps_per_epoch=100,
+                              min_lr=0.05, decay_rate=0.5,
+                              warmup_start_lr=0.0)
+        assert float(s(0)) == 0.0
+        np.testing.assert_allclose(float(s(5)), 0.5, rtol=1e-6)
+        np.testing.assert_allclose(float(s(10)), 1.0, rtol=1e-6)
+        np.testing.assert_allclose(float(s(50)), 1.0, rtol=1e-6)   # clamped
+        np.testing.assert_allclose(float(s(100)), 0.5, rtol=1e-6)  # epoch 1
+        np.testing.assert_allclose(float(s(250)), 0.25, rtol=1e-6) # epoch 2
+        np.testing.assert_allclose(float(s(1000)), 0.05, rtol=1e-6)  # floor
+
 
 class TestLosses:
     def test_cross_entropy_ignores_minus_100(self):
@@ -148,6 +164,31 @@ class TestLearnableImageEmbeddingsOnly:
         # every other leaf passes through the inner optimizer untouched
         assert np.abs(np.asarray(
             updates["layers"]["q_proj"]["kernel"])).max() > 0
+
+    def test_frozen_grads_zeroed_before_clipping(self):
+        """The reference hook zeroes frozen-row grads BEFORE the optimizer
+        (peft_model.py:130-163), so global-norm clipping and Adam moments
+        never see them: huge garbage grads on frozen rows must not change
+        the trainable rows' update (advisor r04)."""
+        from seed_tpu.train import learnable_image_embeddings_only
+        old_v = CFG.vocab_size - 12
+        params = M.init_llama(jax.random.PRNGKey(0), CFG, jnp.float32)
+        grads = jax.grad(loss_fn)(params, make_batch(), None)
+
+        def poison(g):
+            emb = g["embed_tokens"]["embedding"]
+            g = jax.tree.map(lambda x: x, g)     # shallow copy
+            g["embed_tokens"]["embedding"] = emb.at[:old_v].set(1e6)
+            return g
+
+        def run(g):
+            opt = learnable_image_embeddings_only(
+                adamw(lambda _: 1e-2, clip_norm=1.0), old_v,
+                vocab_size=CFG.vocab_size)
+            u, _ = opt.update(g, opt.init(params), params)
+            return np.asarray(u["embed_tokens"]["embedding"][old_v:])
+
+        np.testing.assert_array_equal(run(grads), run(poison(grads)))
 
     def test_weight_decay_cannot_shrink_frozen_rows(self):
         """Stronger than the reference's grad hook: decoupled weight decay
