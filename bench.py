@@ -253,10 +253,13 @@ def main():
                                     "diffusion_s": 71.4, "note":
                 "warm-phase compute, one-chip host-offload, r03, "
                 "scripts/demo_8b_offload.py (swaps tunnel-bound: PERF.md)"},
-            "served_tok_s": {"value": 318.7, "req_per_min": 310.9, "note":
-                "8B int8 continuous batcher, slots=16 decode_chunk=16, 64 "
-                "mixed-length requests (sampling t=1.0 top_p=0.5), r04, "
-                "scripts/bench_serving.py; full sweep in PERF.md"},
+            "served_tok_s": {"value": 417.1, "req_per_min": 406.9,
+                "ttft_ms_p50": 1756, "e2e_ms_p95": 9436, "note":
+                "8B int8 continuous batcher, slots=64 decode_chunk=16 fp8 "
+                "slot cache, 64 mixed-length requests (sampling t=1.0 "
+                "top_p=0.5), r05 (chunk-budget fix + fp8 cache: was 318.7 "
+                "r04; bf16 slots=16 = 359.7), scripts/bench_serving.py; "
+                "full sweep + latency table in PERF.md round 5"},
         },
     }
     if decode_tps is not None:

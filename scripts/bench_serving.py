@@ -94,7 +94,7 @@ def _pct(xs, q):
     return float(np.percentile(np.asarray(xs), q))
 
 
-def run_point(slots, chunk, prefix_mode):
+def run_point(slots, chunk, prefix_mode, cache="bf16"):
     from seed_tpu.models import llama as M
     from seed_tpu.serving import GenerationConfig
     from seed_tpu.serving.scheduler import ContinuousBatcher
@@ -103,9 +103,14 @@ def run_point(slots, chunk, prefix_mode):
     max_len = 320 if prefix_len <= 48 else 832
     buckets = (32, 64, 128, 256) if prefix_len <= 48 \
         else (32, 64, 128, 256, 512)
+    # slots=64 x S=320 bf16 is a 10.7 GiB cache — over the chip's HBM next
+    # to the 6.7 GiB int8 weights; fp8 (e4m3) halves it (the KVCache
+    # engine's serving default, PERF.md round 3, applied to the slot pool)
+    cache_dtype = {"bf16": jnp.bfloat16, "fp8": jnp.float8_e4m3fn}[cache]
     params = build_params(cfg)
     cb = ContinuousBatcher(params, cfg, slots=slots, max_len=max_len,
-                           prompt_buckets=buckets, decode_chunk=chunk)
+                           prompt_buckets=buckets, decode_chunk=chunk,
+                           cache_dtype=cache_dtype)
     rng = np.random.RandomState(7)
     prefix = list(np.random.RandomState(3).randint(5, 32000, prefix_len))
     if not prefix_mode.startswith("off"):
@@ -126,6 +131,28 @@ def run_point(slots, chunk, prefix_mode):
                                             max(plen - prefix_len, 1))),
                   warm_gen)
     cb.run()
+    if not prefix_mode.startswith("off"):
+        # the prefix path runs THREE distinct programs per remainder
+        # bucket: install+prefill (first hit on a slot), slot_prefill_at
+        # (slot-reuse hit), and the from-0 prefill. The wave above only
+        # compiled the install path at the remainder buckets it happened
+        # to produce — cover every (program, bucket) pair the timed run
+        # can dispatch, or the timed numbers eat the missing compiles.
+        rem_buckets = [b for b in buckets if prefix_len + b <= max_len]
+
+        def _rem_wave():
+            for b in rem_buckets:
+                rem = min(b, max_len - prefix_len - warm_gen.max_new_tokens - 2)
+                if rem < 1:
+                    continue
+                cb.submit(prefix + list(rng.randint(5, 32000, rem)), warm_gen)
+            cb.run()
+
+        _rem_wave()                      # slots hold the prefix: slot-reuse
+                                         # path -> slot_prefill_at per bucket
+        for s in range(cb.slots):
+            cb.slot_prefix[s] = None
+        _rem_wave()                      # fresh slots: fused install per bucket
     cb.finished.clear()
     for s in range(cb.slots):       # warm slots hold the prefix: reset so
         cb.slot_prefix[s] = None    # the timed run pays real installs
@@ -145,6 +172,7 @@ def run_point(slots, chunk, prefix_mode):
     e2e = [(r.t_done - r.t_submit) * 1e3 for r in fin]
     return {
         "slots": slots, "chunk": chunk, "prefix": prefix_mode,
+        "cache": cache,
         "requests": N_REQUESTS, "wall_s": round(wall, 2),
         "gen_tok": gen_tok, "prompt_tok": prompt_tok,
         "served_tok_s": round(gen_tok / wall, 1),
@@ -157,29 +185,33 @@ def run_point(slots, chunk, prefix_mode):
     }
 
 
-SWEEP = [(8, 16, "off"), (16, 1, "off"), (16, 8, "off"), (16, 16, "off"),
-         (32, 16, "off"), (64, 16, "off"),
-         (16, 16, "on"), (16, 16, "off512"), (16, 16, "on512"),
-         (16, 16, "off")]
+SWEEP = [(8, 16, "off", "bf16"), (16, 1, "off", "bf16"),
+         (16, 8, "off", "bf16"), (16, 16, "off", "bf16"),
+         (32, 16, "off", "bf16"), (64, 16, "off", "fp8"),
+         (16, 16, "on", "bf16"), (16, 16, "off512", "bf16"),
+         (16, 16, "on512", "bf16"), (16, 16, "off", "bf16")]
 
 if __name__ == "__main__":
-    if len(sys.argv) == 4:
+    if len(sys.argv) >= 4:
         slots, chunk = int(sys.argv[1]), int(sys.argv[2])
-        print("serve " + json.dumps(run_point(slots, chunk, sys.argv[3])),
+        cache = sys.argv[4] if len(sys.argv) > 4 else "bf16"
+        print("serve " + json.dumps(run_point(slots, chunk, sys.argv[3],
+                                              cache)),
               flush=True)
     else:
         points = SWEEP
         if len(sys.argv) == 2 and sys.argv[1] != "all":
             points = [tuple(p.split(":")) for p in sys.argv[1].split(",")]
-            points = [(int(a), int(b), c) for a, b, c in points]
-        for slots, chunk, prefix_mode in points:
+            points = [(int(a), int(b), c, d[0] if d else "bf16")
+                      for a, b, c, *d in points]
+        for slots, chunk, prefix_mode, cache in points:
             r = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), str(slots),
-                 str(chunk), prefix_mode],
+                 str(chunk), prefix_mode, cache],
                 capture_output=True, text=True, timeout=5400)
             line = [l for l in r.stdout.splitlines() if l.startswith("serve")]
             print(line[0] if line else
                   f"serve slots={slots} chunk={chunk} prefix={prefix_mode} "
-                  f"FAILED "
+                  f"cache={cache} FAILED "
                   f"{r.stderr.strip().splitlines()[-1][:300] if r.stderr.strip() else '?'}",
                   flush=True)

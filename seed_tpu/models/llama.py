@@ -712,7 +712,9 @@ def slot_prefill(params, input_ids: jnp.ndarray, n_tokens: jnp.ndarray,
 
 def slot_prefill_at(params, input_ids: jnp.ndarray, n_tokens: jnp.ndarray,
                     slot: jnp.ndarray, start: jnp.ndarray, cache: SlotCache,
-                    cfg: LlamaConfig) -> Tuple[jnp.ndarray, SlotCache]:
+                    cfg: LlamaConfig,
+                    prefix_kv: Optional[jnp.ndarray] = None
+                    ) -> Tuple[jnp.ndarray, SlotCache]:
     """Prefill a chunk into ONE slot at position ``start``, attending
     over the slot's already-cached [0, start) prefix — the prefix-cache
     admit path (vLLM-style shared-system-prompt reuse; the reference has
@@ -722,7 +724,15 @@ def slot_prefill_at(params, input_ids: jnp.ndarray, n_tokens: jnp.ndarray,
     Differs from :func:`slot_prefill` (the start=0 fast path, which never
     reads the cache): each layer reads the slot row, writes the chunk at
     [start, start+N), and attends over the full row with the combined
-    prefix+causal mask ``col <= start + row  AND  col < start + n``."""
+    prefix+causal mask ``col <= start + row  AND  col < start + n``.
+
+    ``prefix_kv`` [L, P, H_kv, 2D], if given, is a pinned shared-prefix
+    KV installed into rows [0, P) PER LAYER inside the scan, right after
+    the layer's slot row is sliced out — an ~P*H*2D-sized VMEM-resident
+    update. Installing it with one whole-cache dynamic_update_slice
+    BEFORE the scan instead made XLA materialize the donated cache as a
+    full HLO-temp copy (6.5 GiB at slots=16 max_len=832: compile-OOM,
+    19.75G > 15.75G hbm)."""
     N = input_ids.shape[1]
     S = cache.kv.shape[2]
     hd = cfg.head_dim
@@ -734,11 +744,14 @@ def slot_prefill_at(params, input_ids: jnp.ndarray, n_tokens: jnp.ndarray,
 
     def step(carry, inputs):
         h, kv_all = carry
-        lp, i = inputs
+        lp, i = inputs[0], inputs[1]
         q, kk, vv = _attn_qkv(lp, h, positions, cfg)
         ckv = jax.lax.dynamic_slice(
             kv_all, (i, slot, 0, 0, 0),
             (1, 1, S, cfg.kv_heads, 2 * hd))[0]           # [1, S, H, 2D]
+        if prefix_kv is not None:
+            ckv = jax.lax.dynamic_update_slice(
+                ckv, inputs[2][None].astype(ckv.dtype), (0, 0, 0, 0))
         kv_chunk = jnp.concatenate([kk, vv], axis=-1).astype(ckv.dtype)
         ckv = jax.lax.dynamic_update_slice(ckv, kv_chunk, (0, start, 0, 0))
         o = mha(q, ckv[..., :hd].astype(q.dtype),
@@ -749,9 +762,10 @@ def slot_prefill_at(params, input_ids: jnp.ndarray, n_tokens: jnp.ndarray,
         return (h, kv_all), None
 
     L_ = cache.kv.shape[0]
-    (x, kv_new), _ = jax.lax.scan(
-        step, (x, cache.kv),
-        (params["layers"], jnp.arange(L_, dtype=jnp.int32)))
+    xs = (params["layers"], jnp.arange(L_, dtype=jnp.int32))
+    if prefix_kv is not None:
+        xs = xs + (prefix_kv,)
+    (x, kv_new), _ = jax.lax.scan(step, (x, cache.kv), xs)
     logits = _logits(params, x, cfg)
     last = jnp.take_along_axis(logits, (n_tokens - 1)[None, None, None],
                                axis=1)[:, 0]
@@ -781,10 +795,12 @@ def install_and_prefill_at(params, prefix_kv: jnp.ndarray,
     trip (~36 ms through a remote PJRT link) — measured to outweigh the
     prefill compute a short shared prefix saves (PERF.md round 4). Fusing
     the block copy into the first prefill program makes a prefix hit
-    strictly cheaper than recomputing it, at every prefix length."""
-    cache = install_prefix(prefix_kv, slot, cache)
+    strictly cheaper than recomputing it, at every prefix length. The
+    install rides the per-layer scan (see :func:`slot_prefill_at`), NOT a
+    whole-cache update before it — the latter broke cache donation and
+    compile-OOMed at the 512-token-prefix geometry."""
     return slot_prefill_at(params, input_ids, n_tokens, slot, start, cache,
-                           cfg)
+                           cfg, prefix_kv=prefix_kv)
 
 
 def slot_decode(params, input_ids: jnp.ndarray, active: jnp.ndarray,

@@ -196,8 +196,8 @@ def _short_mha_kernel(q_ref, k_ref, v_ref, o_ref, *, sm_scale: float,
         preferred_element_type=jnp.float32) * sm_scale   # [hg, S, S]
     m = jnp.max(s, axis=2, keepdims=True)
     p = jnp.exp(s - m)
-    l = jnp.sum(p, axis=2, keepdims=True)
     if exact:
+        l = jnp.sum(p, axis=2, keepdims=True)
         # OP-FAITHFUL to the XLA path (ops/attention.mha): normalize the
         # fp32 probabilities, round them to the io dtype, THEN P@V — the
         # identical fp32->bf16 rounding sequence, so the exact encode
@@ -209,13 +209,30 @@ def _short_mha_kernel(q_ref, k_ref, v_ref, o_ref, *, sm_scale: float,
             pn, v, (((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32).astype(o_ref.dtype)
     else:
-        # normalize the [hg, S, D] output, not the [hg, S, S]
-        # probabilities — one fewer full-score-block VPU pass
-        # (measured -21%/call)
-        o = jax.lax.dot_general(
-            p.astype(v.dtype), v, (((2,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32)          # [hg, S, D]
-        o_ref[0] = (o / l).astype(o_ref.dtype)
+        D = v.shape[2]
+        if D % 128 != 0:
+            # FUSE the softmax row-sum into the PV matmul: append a ones
+            # column to v — D pads up to the next 128-lane tile anyway
+            # (88 -> 128 at the ViT shape), so the extra column rides the
+            # MXU for free and the separate [hg, S, S] VPU sum pass
+            # disappears (probe_short_attn3.py: 1.391 -> 1.289 ms/call).
+            # l here sums the bf16-rounded p (fp32 MXU accumulate) — the
+            # same rounding P@V sees, fast path only.
+            ones = jnp.ones((v.shape[0], v.shape[1], 1), v.dtype)
+            vx = jnp.concatenate([v, ones], axis=2)      # [hg, S, D+1]
+            ox = jax.lax.dot_general(
+                p.astype(v.dtype), vx, (((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32)      # [hg, S, D+1]
+            o_ref[0] = (ox[:, :, :D] / ox[:, :, D:D + 1]).astype(o_ref.dtype)
+        else:
+            # no spare lane (D already a multiple of 128): normalize the
+            # [hg, S, D] output, not the [hg, S, S] probabilities — one
+            # fewer full-score-block VPU pass (measured -21%/call)
+            l = jnp.sum(p, axis=2, keepdims=True)
+            o = jax.lax.dot_general(
+                p.astype(v.dtype), v, (((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32)      # [hg, S, D]
+            o_ref[0] = (o / l).astype(o_ref.dtype)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
