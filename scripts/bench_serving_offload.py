@@ -73,6 +73,9 @@ def main():
     ap.add_argument("--chunk", type=int, default=16)
     ap.add_argument("--new-tokens", type=int, default=64)
     ap.add_argument("--max-len", type=int, default=320)
+    ap.add_argument("--slot-cache", choices=("bf16", "fp8"), default="bf16",
+                    help="slot KV cache dtype (fp8 halves cache HBM; "
+                    "PERF.md round 5)")
     ap.add_argument("--tiny", action="store_true",
                     help="tiny configs (CPU smoke test)")
     args = ap.parse_args()
@@ -102,8 +105,11 @@ def main():
     llm_params = jax.device_put(llm_params, dev)
     jax.block_until_ready(llm_params)
 
+    cache_dtype = {"bf16": jnp.bfloat16, "fp8": jnp.float8_e4m3fn}[
+        args.slot_cache]
     engine = ScheduledEngine(llm_params, cfg, slots=args.slots,
-                             max_len=args.max_len, decode_chunk=args.chunk)
+                             max_len=args.max_len, decode_chunk=args.chunk,
+                             cache_dtype=cache_dtype)
     iface = SeedLlamaInterface(engine, tok_params, tok_cfg,
                                ByteTextTokenizer(), offload=True)
     gen = GenerationConfig(max_new_tokens=args.new_tokens, do_sample=True,
@@ -131,7 +137,8 @@ def main():
         total = run_wave(iface, codes, gen, args.requests, seed0=0)
         wall = time.perf_counter() - t0
         t.update(requests=args.requests, slots=args.slots,
-                 chunk=args.chunk, gen_tok=total, wall_s=round(wall, 2),
+                 chunk=args.chunk, slot_cache=args.slot_cache,
+                 gen_tok=total, wall_s=round(wall, 2),
                  served_tok_s=round(total / wall, 1),
                  req_per_min=round(args.requests / wall * 60, 1))
         print(json.dumps(t))
